@@ -107,8 +107,9 @@ def imresize(img: jax.Array, scale: float, antialiasing: bool = True) -> jax.Arr
     wh = jnp.asarray(resize_weights(h, oh, antialiasing), dtype=jnp.float32)
     ww = jnp.asarray(resize_weights(w, ow, antialiasing), dtype=jnp.float32)
     x = img.astype(jnp.float32)
-    x = jnp.einsum("oh,...hwc->...owc", wh, x)
-    x = jnp.einsum("pw,...owc->...opc", ww, x)
+    # highest precision: this op defines dataset parity; never bf16 it.
+    x = jnp.einsum("oh,...hwc->...owc", wh, x, precision="highest")
+    x = jnp.einsum("pw,...owc->...opc", ww, x, precision="highest")
     return x.astype(img.dtype) if jnp.issubdtype(img.dtype, jnp.floating) else x
 
 

@@ -22,12 +22,12 @@ def test_reflection_borders():
 
 def test_reflection_circle_borders():
     # Never reuses the center; borrows from the far side of the window.
-    assert index_generation(0, 100, 5, "reflection_circle") == [3, 4, 0, 1, 2]
+    assert index_generation(0, 100, 5, "reflection_circle") == [4, 3, 0, 1, 2]
     assert index_generation(99, 100, 5, "reflection_circle") == [97, 98, 99, 96, 95]
 
 
 def test_new_info_borders():
-    assert index_generation(0, 100, 5, "new_info") == [3, 4, 0, 1, 2]
+    assert index_generation(0, 100, 5, "new_info") == [4, 3, 0, 1, 2]
     assert index_generation(99, 100, 5, "new_info") == [97, 98, 99, 96, 95]
 
 
