@@ -1,0 +1,214 @@
+"""Unit tests for grid_sample / flow_warp / pixel_shuffle / DCN reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynavsr_tpu.ops.dcn_ref import deform_conv2d_ref
+from dynavsr_tpu.ops.grid_sample import bilinear_sample, flow_warp
+from dynavsr_tpu.ops.pixelshuffle import pixel_shuffle
+
+
+# ---------------------------------------------------------------- grid sample
+def test_bilinear_sample_exact_pixels():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((5, 7, 3)).astype(np.float32))
+    ys = jnp.asarray([[0.0, 4.0], [2.0, 1.0]])
+    xs = jnp.asarray([[0.0, 6.0], [3.0, 5.0]])
+    out = bilinear_sample(img, ys, xs)
+    np.testing.assert_allclose(out[0, 0], img[0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[0, 1], img[4, 6], atol=1e-6)
+    np.testing.assert_allclose(out[1, 0], img[2, 3], atol=1e-6)
+
+
+def test_bilinear_sample_midpoint_and_outside():
+    img = jnp.asarray(np.arange(4, dtype=np.float32).reshape(2, 2, 1))
+    mid = bilinear_sample(img, jnp.asarray([0.5]), jnp.asarray([0.5]))
+    np.testing.assert_allclose(mid[0, 0], 1.5, atol=1e-6)
+    out = bilinear_sample(img, jnp.asarray([-5.0, 10.0]), jnp.asarray([0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    # Border fade: at y=-0.5, only the inside row contributes with weight 0.5.
+    edge = bilinear_sample(img, jnp.asarray([-0.5]), jnp.asarray([0.0]))
+    np.testing.assert_allclose(edge[0, 0], 0.5 * img[0, 0, 0], atol=1e-6)
+
+
+def test_grid_sample_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(1)
+    img = rng.random((2, 8, 9, 4)).astype(np.float32)
+    flow = (rng.random((2, 8, 9, 2)).astype(np.float32) - 0.5) * 6.0
+
+    ours = np.asarray(flow_warp(jnp.asarray(img), jnp.asarray(flow)))
+
+    t_img = torch.from_numpy(img).permute(0, 3, 1, 2)
+    t_flow = torch.from_numpy(flow)
+    h, w = 8, 9
+    gy, gx = torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij")
+    vx = gx[None] + t_flow[..., 0]
+    vy = gy[None] + t_flow[..., 1]
+    gxn = 2.0 * vx / max(w - 1, 1) - 1.0
+    gyn = 2.0 * vy / max(h - 1, 1) - 1.0
+    grid = torch.stack([gxn, gyn], dim=-1)
+    theirs = (
+        F.grid_sample(t_img, grid, mode="bilinear", padding_mode="zeros", align_corners=True)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+# --------------------------------------------------------------- pixelshuffle
+def test_pixel_shuffle_matches_torch():
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(2)
+    x = rng.random((2, 3, 4, 16)).astype(np.float32)  # NHWC, C = 4*2*2
+    ours = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+    theirs = (
+        torch.pixel_shuffle(torch.from_numpy(x).permute(0, 3, 1, 2), 2)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=0)
+
+
+def test_pixel_shuffle_leading_dims():
+    x = jnp.ones((2, 5, 3, 4, 16))
+    assert pixel_shuffle(x, 2).shape == (2, 5, 6, 8, 4)
+
+
+# ------------------------------------------------------------------------ DCN
+def _dcn_numpy_oracle(x, offset, mask, weight, stride, padding, dilation, groups, gd):
+    """Direct, slow numpy modulated deform conv (CUDA-kernel semantics)."""
+    b, h, w, cin = x.shape
+    kh, kw, cin_g, cout = weight.shape
+    k = kh * kw
+    ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    cg = cin // gd
+    cout_g = cout // groups
+    out = np.zeros((b, ho, wo, cout))
+
+    def sample(img2d, y, xx):
+        hh, ww = img2d.shape
+        if y <= -1 or xx <= -1 or y >= hh or xx >= ww:
+            return 0.0
+        y0, x0 = int(np.floor(y)), int(np.floor(xx))
+        v = 0.0
+        for dy2 in (0, 1):
+            for dx2 in (0, 1):
+                yy, xc = y0 + dy2, x0 + dx2
+                if 0 <= yy < hh and 0 <= xc < ww:
+                    wy = 1 - abs(y - yy)
+                    wx = 1 - abs(xx - xc)
+                    v += wy * wx * img2d[yy, xc]
+        return v
+
+    for bi in range(b):
+        for oy in range(ho):
+            for ox in range(wo):
+                for oc in range(cout):
+                    g = oc // cout_g
+                    acc = 0.0
+                    for ky in range(kh):
+                        for kx in range(kw):
+                            ki = ky * kw + kx
+                            for ic_l in range(cin_g):
+                                ic = g * cin_g + ic_l
+                                dg = ic // cg
+                                dy = offset[bi, oy, ox, 2 * (dg * k + ki)]
+                                dx = offset[bi, oy, ox, 2 * (dg * k + ki) + 1]
+                                m = 1.0 if mask is None else mask[bi, oy, ox, dg * k + ki]
+                                y = oy * stride - padding + ky * dilation + dy
+                                xx = ox * stride - padding + kx * dilation + dx
+                                acc += (
+                                    sample(x[bi, :, :, ic], y, xx)
+                                    * m
+                                    * weight[ky, kx, ic_l, oc]
+                                )
+                    out[bi, oy, ox, oc] = acc
+    return out
+
+
+def test_dcn_zero_offset_equals_conv():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 8, 8, 4)).astype(np.float32))
+    weight = jnp.asarray(rng.random((3, 3, 4, 6)).astype(np.float32))
+    offset = jnp.zeros((2, 8, 8, 2 * 9))
+    mask = jnp.ones((2, 8, 8, 9))
+    out = deform_conv2d_ref(x, offset, mask, weight)
+    ref = jax.lax.conv_general_dilated(
+        x, weight, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("groups,gd", [(1, 1), (1, 2), (2, 2)])
+def test_dcn_matches_numpy_oracle(groups, gd):
+    rng = np.random.default_rng(4)
+    b, h, w, cin, cout = 1, 5, 6, 4, 4
+    kh = kw = 3
+    k = kh * kw
+    x = rng.random((b, h, w, cin)).astype(np.float32)
+    weight = (rng.random((kh, kw, cin // groups, cout)).astype(np.float32) - 0.5)
+    offset = ((rng.random((b, h, w, 2 * gd * k)) - 0.5) * 4).astype(np.float32)
+    mask = rng.random((b, h, w, gd * k)).astype(np.float32)
+
+    ours = np.asarray(
+        deform_conv2d_ref(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask), jnp.asarray(weight),
+            groups=groups, deformable_groups=gd,
+        )
+    )
+    oracle = _dcn_numpy_oracle(x, offset, mask, weight, 1, 1, 1, groups, gd)
+    np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+
+def test_dcn_no_mask_is_dcnv1():
+    rng = np.random.default_rng(5)
+    x = rng.random((1, 5, 5, 2)).astype(np.float32)
+    weight = rng.random((3, 3, 2, 3)).astype(np.float32)
+    offset = ((rng.random((1, 5, 5, 18)) - 0.5) * 3).astype(np.float32)
+    ours = np.asarray(
+        deform_conv2d_ref(jnp.asarray(x), jnp.asarray(offset), None, jnp.asarray(weight))
+    )
+    oracle = _dcn_numpy_oracle(x, offset, None, weight, 1, 1, 1, 1, 1)
+    np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+
+def test_dcn_stride_2():
+    rng = np.random.default_rng(6)
+    x = rng.random((1, 9, 9, 2)).astype(np.float32)
+    weight = rng.random((3, 3, 2, 3)).astype(np.float32)
+    offset = ((rng.random((1, 5, 5, 18)) - 0.5) * 3).astype(np.float32)
+    mask = rng.random((1, 5, 5, 9)).astype(np.float32)
+    ours = np.asarray(
+        deform_conv2d_ref(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask), jnp.asarray(weight),
+            stride=2,
+        )
+    )
+    assert ours.shape == (1, 5, 5, 3)
+    oracle = _dcn_numpy_oracle(x, offset, mask, weight, 2, 1, 1, 1, 1)
+    np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+
+def test_dcn_grads_flow():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((1, 6, 6, 4)).astype(np.float32))
+    weight = jnp.asarray(rng.random((3, 3, 4, 4)).astype(np.float32))
+    offset = jnp.asarray(((rng.random((1, 6, 6, 2 * 9)) - 0.5) * 2).astype(np.float32))
+    mask = jnp.asarray(rng.random((1, 6, 6, 9)).astype(np.float32))
+
+    def loss(x, offset, mask, weight):
+        return jnp.sum(deform_conv2d_ref(x, offset, mask, weight) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(x, offset, mask, weight)
+    for g in grads:
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.abs(g).max()) > 0
