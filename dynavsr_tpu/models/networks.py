@@ -1,0 +1,50 @@
+"""Network factory — reference models/networks.py:define_G [H].
+
+String dispatch on opt['network_G']['which_model_G'] so reference YAML
+configs port 1:1. Returns an (un-initialized) flax module; callers init
+params with module.init(rng, example_input).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from dynavsr_tpu.models.downscaler import MFDN, SFDN
+from dynavsr_tpu.models.duf import DUF
+from dynavsr_tpu.models.edvr import EDVR
+from dynavsr_tpu.models.tof import TOFlow
+
+__all__ = ["define_G"]
+
+
+def define_G(opt: Mapping[str, Any]):
+    """opt: full config dict (reference-style). Uses opt['network_G']."""
+    opt_net = opt["network_G"]
+    which = opt_net["which_model_G"]
+    scale = opt.get("scale", 4)
+
+    if which == "EDVR":
+        return EDVR(
+            nf=opt_net.get("nf", 64),
+            nframes=opt_net.get("nframes", 5),
+            groups=opt_net.get("groups", 8),
+            front_RBs=opt_net.get("front_RBs", 5),
+            back_RBs=opt_net.get("back_RBs", 10),
+            center=opt_net.get("center"),
+            predeblur=bool(opt_net.get("predeblur", False)),
+            hr_in=bool(opt_net.get("HR_in", False)),
+            w_TSA=opt_net.get("w_TSA", True) is not False,
+        )
+    if which == "TOF":
+        return TOFlow()
+    if which == "DUF_16L":
+        return DUF(scale=scale, dense1_layers=3)
+    if which == "DUF_28L":
+        return DUF(scale=scale, dense1_layers=9)
+    if which == "DUF_52L":
+        return DUF(scale=scale, dense1_layers=21)
+    if which == "MFDN":
+        return MFDN(scale=scale, nf=opt_net.get("nf", 64))
+    if which == "SFDN":
+        return SFDN(scale=scale, nf=opt_net.get("nf", 64))
+    raise NotImplementedError(f"Generator model [{which}] not recognized")

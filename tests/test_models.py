@@ -1,0 +1,123 @@
+"""Shape/grad smoke tests for all architectures (tiny shapes, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynavsr_tpu.models.downscaler import MFDN, SFDN
+from dynavsr_tpu.models.duf import DUF, dynamic_upsampling_filter
+from dynavsr_tpu.models.edvr import EDVR, TSAFusion
+from dynavsr_tpu.models.tof import SpyNet, TOFlow
+from dynavsr_tpu.models.networks import define_G
+
+
+def test_edvr_m_forward_shape():
+    model = EDVR(nf=16, nframes=5, groups=4, front_RBs=2, back_RBs=2)
+    x = jnp.zeros((1, 5, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_edvr_no_tsa():
+    model = EDVR(nf=16, nframes=5, groups=4, front_RBs=1, back_RBs=1, w_TSA=False)
+    x = jnp.zeros((1, 5, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    assert model.apply(params, x).shape == (1, 64, 64, 3)
+
+
+def test_edvr_zero_init_dcn_offsets_give_identity_like_base():
+    """With zero-init conv_offset_mask, DCN offsets are 0 and mask 0.5 —
+    the forward must be finite and close to the bilinear base at init."""
+    model = EDVR(nf=16, nframes=3, groups=2, front_RBs=1, back_RBs=1)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 12, 12, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_edvr_grads_finite():
+    model = EDVR(nf=8, nframes=3, groups=2, front_RBs=1, back_RBs=1)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, 8, 8, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.mean(model.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    # offset conv grads must flow (not detached)
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    off_grads = [l for p, l in flat if "conv_offset_mask" in str(p)]
+    assert off_grads and any(float(jnp.abs(l).max()) > 0 for l in off_grads)
+
+
+def test_tof_forward_shape():
+    model = TOFlow()
+    x = jnp.ones((1, 7, 24, 24, 3)) * 0.5
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (1, 24, 24, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_spynet_flow_shape():
+    model = SpyNet()
+    ref = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), ref, ref)
+    flow = model.apply(variables, ref, ref)
+    assert flow.shape == (2, 32, 32, 2)
+
+
+def test_duf_forward_shape():
+    model = DUF(scale=4, dense1_layers=2)
+    x = jnp.ones((1, 7, 8, 8, 3)) * 0.3
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (1, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_dynamic_upsampling_filter_uniform_is_boxblur():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 6, 6, 3)).astype(np.float32))
+    filters = jnp.full((1, 6, 6, 25, 1), 1.0 / 25.0)
+    out = dynamic_upsampling_filter(x, filters)
+    xp = np.pad(np.asarray(x), [(0, 0), (2, 2), (2, 2), (0, 0)])
+    want = np.stack(
+        [xp[0, i : i + 5, j : j + 5, :].mean(axis=(0, 1)) for i in range(6) for j in range(6)]
+    ).reshape(6, 6, 3)
+    np.testing.assert_allclose(np.asarray(out[0]), want, atol=1e-5)
+
+
+def test_mfdn_sfdn_shapes_and_bicubic_residual():
+    x = jnp.ones((1, 5, 16, 16, 3)) * 0.7
+    m = MFDN(scale=4)
+    vm = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(vm, x)
+    assert out.shape == (1, 5, 4, 4, 3)
+
+    s = SFDN(scale=2)
+    xs = jnp.ones((2, 16, 16, 3)) * 0.2
+    vs = s.init(jax.random.PRNGKey(0), xs)
+    assert s.apply(vs, xs).shape == (2, 8, 8, 3)
+
+
+def test_define_g_dispatch():
+    opt = {"scale": 4, "network_G": {"which_model_G": "EDVR", "nf": 8, "back_RBs": 1, "front_RBs": 1, "groups": 2}}
+    assert isinstance(define_G(opt), EDVR)
+    assert isinstance(define_G({"scale": 4, "network_G": {"which_model_G": "TOF"}}), TOFlow)
+    assert isinstance(define_G({"scale": 4, "network_G": {"which_model_G": "DUF_16L"}}), DUF)
+    assert isinstance(define_G({"scale": 4, "network_G": {"which_model_G": "MFDN"}}), MFDN)
+    with pytest.raises(NotImplementedError):
+        define_G({"scale": 4, "network_G": {"which_model_G": "nope"}})
+
+
+def test_tsa_fusion_standalone():
+    m = TSAFusion(nf=8, nframes=3, center=1)
+    fea = jax.random.uniform(jax.random.PRNGKey(3), (2, 3, 8, 8, 8))
+    v = m.init(jax.random.PRNGKey(0), fea)
+    out = m.apply(v, fea)
+    assert out.shape == (2, 8, 8, 8)
