@@ -1,0 +1,101 @@
+"""Test-time adaptation — the DynaVSR product loop (SURVEY.md §3.4 [H]).
+
+Per clip: fork the meta weights, run k gradient steps on the self-supervised
+(SLR = MFDN(LR windows) -> LR center) pseudo-task, then slide the adapted
+net over every window of the clip.
+
+TPU design: the whole per-clip loop — k optimizer steps (lax.scan) plus the
+full-clip batched inference — is ONE jitted function; clips are
+embarrassingly parallel across chips (shard the clip batch over the
+('data',) mesh, or vmap small clips). This replaces the reference's serial
+per-GPU Python loop and is where the ">= 5x frames/sec/chip with
+adaptation" target comes from (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["AdaptConfig", "make_adapt_and_infer", "make_adapt_step"]
+
+
+@dataclasses.dataclass
+class AdaptConfig:
+    n_steps: int = 5
+    lr: float = 1e-6
+    optimizer: str = "adam"  # 'adam' | 'sgd' (reference uses small-lr Adam [M])
+    reduction: str = "mean"
+    infer_chunk: int = 0  # 0 = all windows in one batch
+
+
+def _make_tx(cfg: AdaptConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "adam":
+        return optax.adam(cfg.lr)
+    if cfg.optimizer == "sgd":
+        return optax.sgd(cfg.lr)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+def make_adapt_step(vsr_model, cfg: AdaptConfig):
+    """One adaptation gradient step on a batch of (SLR window, LR center)."""
+    from dynavsr_tpu.train.losses import charbonnier_loss
+
+    tx = _make_tx(cfg)
+
+    def loss_fn(params, slr_windows, lr_centers):
+        pred = vsr_model.apply(params, slr_windows)
+        return charbonnier_loss(pred, lr_centers, reduction=cfg.reduction)
+
+    def step(params, opt_state, slr_windows, lr_centers):
+        loss, g = jax.value_and_grad(loss_fn)(params, slr_windows, lr_centers)
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return tx, step
+
+
+def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True):
+    """Build adapt_and_infer(params, slr_windows, lr_centers, lr_windows).
+
+    slr_windows: (K, N, h/s, w/s, 3) adaptation inputs (from MFDN)
+    lr_centers:  (K, h, w, 3) their targets
+    lr_windows:  (F, N, h, w, 3) every sliding window of the clip
+    Returns (sr_frames (F, H, W, 3), losses (n_steps,)).
+
+    The k adaptation steps are a lax.scan over (params, opt_state); the
+    inference is one batched apply (optionally lax.map-chunked to bound
+    memory for long clips).
+    """
+    tx, step = make_adapt_step(vsr_model, cfg)
+
+    def run(params, slr_windows, lr_centers, lr_windows):
+        opt_state = tx.init(params)
+
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = step(p, o, slr_windows, lr_centers)
+            return (p, o), loss
+
+        (adapted, _), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=cfg.n_steps)
+
+        if cfg.infer_chunk and cfg.infer_chunk < lr_windows.shape[0]:
+            f = lr_windows.shape[0]
+            chunk = cfg.infer_chunk
+            n_chunks = -(-f // chunk)
+            pad = n_chunks * chunk - f
+            padded = jnp.pad(lr_windows, [(0, pad)] + [(0, 0)] * (lr_windows.ndim - 1))
+            chunks = padded.reshape((n_chunks, chunk) + lr_windows.shape[1:])
+            sr = jax.lax.map(lambda w: vsr_model.apply(adapted, w), chunks)
+            sr = sr.reshape((n_chunks * chunk,) + sr.shape[2:])[:f]
+        else:
+            sr = vsr_model.apply(adapted, lr_windows)
+        return sr, losses
+
+    return jax.jit(run) if jit else run

@@ -143,11 +143,15 @@ def _pool(x: jax.Array, reducer, init, window: int = 3, stride: int = 2, pad: in
 
 
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
-    """torch nn.MaxPool2d(3, stride=2, padding=1) on NHWC."""
-    return _pool(x, jax.lax.max, jnp.array(-jnp.inf, x.dtype))
+    """torch nn.MaxPool2d(3, stride=2, padding=1) on NHWC.
+
+    Python-scalar init values are required: JAX only attaches autodiff
+    rules to reduce_window when it recognizes the max/add monoid, and that
+    detection needs a literal identity element."""
+    return _pool(x, jax.lax.max, -jnp.inf)
 
 
 def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
     """torch nn.AvgPool2d(3, stride=2, padding=1) — count_include_pad=True,
     i.e. always divide by 9 (zeros counted) [torch default]."""
-    return _pool(x, jax.lax.add, jnp.array(0.0, x.dtype)) / 9.0
+    return _pool(x, jax.lax.add, 0.0) / 9.0

@@ -1,0 +1,163 @@
+"""Trainer / schedule / meta / adaptation tests (CPU, 8 fake devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dynavsr_tpu.models.edvr import EDVR
+from dynavsr_tpu.parallel.mesh import data_mesh, replicate, shard_batch
+from dynavsr_tpu.train.losses import charbonnier_loss
+from dynavsr_tpu.train.meta import MetaConfig, adapted_params, make_meta_train_step
+from dynavsr_tpu.train.schedules import cosine_annealing_restart, multistep_restart, with_warmup
+from dynavsr_tpu.train.trainer import TrainerConfig, TrainState, make_optimizer, make_train_step
+
+
+def tiny_model():
+    return EDVR(nf=8, nframes=3, groups=2, front_RBs=1, back_RBs=1)
+
+
+def tiny_state(model, x, cfg=None):
+    params = model.init(jax.random.PRNGKey(0), x)
+    tx = make_optimizer(cfg or TrainerConfig(lr=1e-4, scheme="constant"))
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+# ------------------------------------------------------------------ schedules
+def test_cosine_restart_schedule():
+    s = cosine_annealing_restart(1e-3, [100, 100], [1.0, 0.5], eta_min=1e-7)
+    assert float(s(0)) == pytest.approx(1e-3, rel=1e-4)
+    assert float(s(50)) == pytest.approx((1e-3 + 1e-7) / 2, rel=1e-2)
+    assert float(s(99)) < 1e-5
+    assert float(s(100)) == pytest.approx(0.5e-3, rel=1e-4)  # restart, weight .5
+    assert float(s(150)) == pytest.approx((0.5e-3 + 1e-7) / 2, rel=1e-2)
+
+
+def test_multistep_restart_schedule():
+    s = multistep_restart(1e-3, milestones=[10, 20], gamma=0.5)
+    assert float(s(5)) == pytest.approx(1e-3)
+    assert float(s(15)) == pytest.approx(5e-4)
+    assert float(s(25)) == pytest.approx(2.5e-4)
+    s2 = multistep_restart(1e-3, milestones=[10, 30], gamma=0.5,
+                           restarts=[20], restart_weights=[0.8])
+    assert float(s2(25)) == pytest.approx(8e-4)  # decay cleared at restart
+    assert float(s2(35)) == pytest.approx(4e-4)
+
+
+def test_warmup():
+    s = with_warmup(lambda c: 1e-3, 10)
+    assert float(s(0)) == pytest.approx(1e-4)
+    assert float(s(9)) == pytest.approx(1e-3)
+    assert float(s(100)) == pytest.approx(1e-3)
+
+
+def test_charbonnier():
+    a = jnp.zeros((2, 4))
+    b = jnp.ones((2, 4)) * 3.0
+    assert float(charbonnier_loss(a, b, reduction="mean")) == pytest.approx(3.0, rel=1e-5)
+    assert float(charbonnier_loss(a, b, reduction="sum")) == pytest.approx(24.0, rel=1e-5)
+
+
+# ------------------------------------------------------------------- training
+def test_train_step_reduces_loss():
+    model = tiny_model()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 8, 8, 3))
+    gt = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    state = tiny_state(model, x, TrainerConfig(lr=1e-3, scheme="constant"))
+    step = make_train_step(model, TrainerConfig(lr=1e-3, scheme="constant"), donate=False)
+    batch = {"LQs": x, "GT": gt}
+    losses = []
+    for _ in range(5):
+        state, m = step(state, batch)
+        losses.append(float(m["l_pix"]))
+    assert losses[-1] < losses[0]
+    assert state.step == 5
+
+
+def test_train_step_sharded_8dev():
+    assert jax.device_count() >= 8
+    mesh = data_mesh(jax.devices()[:8])
+    model = tiny_model()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3, 8, 8, 3))
+    gt = jax.random.uniform(jax.random.PRNGKey(2), (8, 32, 32, 3))
+    state = tiny_state(model, x[:1])
+    state = replicate(mesh, state)
+    batch = shard_batch(mesh, {"LQs": x, "GT": gt})
+    step = make_train_step(model, TrainerConfig(lr=1e-4, scheme="constant"), mesh=mesh, donate=False)
+    new_state, metrics = step(state, batch)
+    assert bool(jnp.isfinite(metrics["l_pix"]))
+    # sharded result must equal single-device result (psum == full-batch grad)
+    step1 = make_train_step(model, TrainerConfig(lr=1e-4, scheme="constant"), donate=False)
+    state1 = tiny_state(model, x[:1])
+    ns1, m1 = step1(state1, {"LQs": x, "GT": gt})
+    np.testing.assert_allclose(float(metrics["l_pix"]), float(m1["l_pix"]), rtol=1e-4)
+
+
+# ----------------------------------------------------------------------- meta
+def test_adapted_params_changes_weights():
+    model = tiny_model()
+    slr = jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 4, 4, 3))
+    lr_c = jax.random.uniform(jax.random.PRNGKey(4), (1, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), slr)
+    cfg = MetaConfig(inner_lr=1e-3, inner_steps=2)
+    fast, inner_l = adapted_params(model, params, slr, lr_c, cfg)
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), params, fast)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+    assert bool(jnp.isfinite(inner_l))
+
+
+@pytest.mark.parametrize("first_order", [False, True])
+def test_meta_step_runs_and_improves(first_order):
+    model = tiny_model()
+    slr = jax.random.uniform(jax.random.PRNGKey(5), (1, 3, 4, 4, 3))
+    lr_w = jax.random.uniform(jax.random.PRNGKey(6), (1, 3, 16, 16, 3))
+    batch = {
+        "SLR": slr,
+        "LR": lr_w,
+        "LR_center": jax.random.uniform(jax.random.PRNGKey(7), (1, 16, 16, 3)),
+        "HR_center": jax.random.uniform(jax.random.PRNGKey(8), (1, 64, 64, 3)),
+    }
+    params = model.init(jax.random.PRNGKey(0), slr)
+    tx = optax.adam(1e-3)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    cfg = MetaConfig(inner_lr=1e-4, inner_steps=1, first_order=first_order)
+    step = make_meta_train_step(model, cfg, donate=False)
+    l0 = None
+    for _ in range(4):
+        state, m = step(state, batch)
+        if l0 is None:
+            l0 = float(m["l_outer"])
+    assert float(m["l_outer"]) < l0
+    assert float(m["grad_norm"]) > 0
+
+
+# ----------------------------------------------------------------- adaptation
+def test_adapt_and_infer():
+    from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
+
+    model = tiny_model()
+    slr_w = jax.random.uniform(jax.random.PRNGKey(9), (2, 3, 4, 4, 3))
+    lr_c = jax.random.uniform(jax.random.PRNGKey(10), (2, 16, 16, 3))
+    lr_windows = jax.random.uniform(jax.random.PRNGKey(11), (5, 3, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), slr_w)
+    fn = make_adapt_and_infer(model, AdaptConfig(n_steps=2, lr=1e-5))
+    sr, losses = fn(params, slr_w, lr_c, lr_windows)
+    assert sr.shape == (5, 64, 64, 3)
+    assert losses.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(sr)))
+
+
+def test_adapt_and_infer_chunked_matches():
+    from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
+
+    model = tiny_model()
+    slr_w = jax.random.uniform(jax.random.PRNGKey(9), (1, 3, 4, 4, 3))
+    lr_c = jax.random.uniform(jax.random.PRNGKey(10), (1, 16, 16, 3))
+    lr_windows = jax.random.uniform(jax.random.PRNGKey(11), (5, 3, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), slr_w)
+    full = make_adapt_and_infer(model, AdaptConfig(n_steps=1, lr=1e-5))
+    chunked = make_adapt_and_infer(model, AdaptConfig(n_steps=1, lr=1e-5, infer_chunk=2))
+    sr_f, _ = full(params, slr_w, lr_c, lr_windows)
+    sr_c, _ = chunked(params, slr_w, lr_c, lr_windows)
+    np.testing.assert_allclose(np.asarray(sr_f), np.asarray(sr_c), atol=1e-5)
