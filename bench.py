@@ -1,0 +1,107 @@
+"""Headline benchmark: EDVR-M x4 frames/sec/chip WITH test-time adaptation.
+
+This is BASELINE.json's north-star metric: per clip, run k on-device
+adaptation steps (the DynaVSR product loop, SURVEY.md §3.4) then
+sliding-window inference, and report SR frames per second per chip.
+
+The whole adapt+infer pipeline is ONE jitted function (lax.scan over the
+adaptation steps + batched inference), so the measurement includes
+everything the reference's per-clip Python loop does.
+
+vs_baseline: ratio against PYTORCH_GPU_FPS_ESTIMATE — the reference repo
+publishes no throughput numbers (SURVEY.md §6 [H]); 10 fps is our recalled
+order-of-magnitude for PyTorch EDVR-M x4 at Vid4-like resolution on a
+V100-class GPU, UNVERIFIED. Re-measure when a GPU reference is available.
+
+Usage: python bench.py [--quick]
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+PYTORCH_GPU_FPS_ESTIMATE = 10.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny shapes (CPU smoke test)")
+    ap.add_argument("--adapt-steps", type=int, default=5)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
+    from dynavsr_tpu.models.edvr import EDVR
+
+    if args.quick:
+        nf, nframes, groups, front, back = 8, 3, 2, 1, 1
+        h, w, n_windows, n_adapt = 16, 16, 4, 2
+    else:
+        # EDVR-M on Vid4-like LR frames (calendar: 180x144 at x4).
+        nf, nframes, groups, front, back = 64, 5, 8, 5, 10
+        h, w, n_windows, n_adapt = 144, 176, 16, 8
+
+    model = EDVR(
+        nf=nf, nframes=nframes, groups=groups, front_RBs=front, back_RBs=back,
+        dtype=jnp.bfloat16,
+    )
+    scale = 4
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    lr_windows = jax.random.uniform(k1, (n_windows, nframes, h, w, 3), jnp.float32)
+    slr_windows = jax.random.uniform(
+        k2, (n_adapt, nframes, h // scale, w // scale, 3), jnp.float32)
+    lr_centers = jax.random.uniform(k3, (n_adapt, h, w, 3), jnp.float32)
+
+    params = model.init(k4, lr_windows[:1])
+    cfg = AdaptConfig(n_steps=args.adapt_steps, lr=1e-6, optimizer="adam",
+                      infer_chunk=4 if not args.quick else 0)
+    run = make_adapt_and_infer(model, cfg)
+
+    def block(tree):
+        # NB: block_until_ready on a pytree silently does not block under the
+        # axon TPU tunnel; block each leaf array explicitly.
+        for leaf in jax.tree_util.tree_leaves(tree):
+            leaf.block_until_ready()
+
+    # Warmup / compile.
+    sr, losses = run(params, slr_windows, lr_centers, lr_windows)
+    block((sr, losses))
+
+    times = []
+    for i in range(args.repeats):
+        # Vary the input each repeat: the tunnel memoizes identical
+        # (executable, inputs) calls, which would fake a ~0s run.
+        lw = lr_windows + (i + 1) * 1e-6
+        t0 = time.perf_counter()
+        sr, losses = run(params, slr_windows, lr_centers, lw)
+        block((sr, losses))
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    fps = n_windows / best
+    result = {
+        "metric": "edvr_m_x4_fps_per_chip_with_adaptation",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / PYTORCH_GPU_FPS_ESTIMATE, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# backend={jax.default_backend()} devices={jax.device_count()} "
+        f"shape=({n_windows},{nframes},{h},{w},3) adapt_steps={args.adapt_steps} "
+        f"best={best:.3f}s times={[round(t, 3) for t in times]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -3,10 +3,11 @@
 `deform_conv2d` is the single entry point the models call (reference parity:
 models/archs/dcn/deform_conv.py's ModulatedDeformConv / DCN_sep family,
 SURVEY.md §2.2 [H]). Implementations:
-  - "ref":    pure-JAX gather+einsum (ops/dcn_ref.py) — always available,
-              fully differentiable through JAX autodiff.
-  - "pallas": fused gather-interpolate-matmul TPU kernel (ops/dcn_pallas.py)
-              with a custom VJP; falls back to "ref" off-TPU.
+  - "fused" (default): memory-lean tap-scan gather-interpolate-matmul
+              (ops/dcn_fused.py) — never materializes im2col columns,
+              rematerialized backward; the production path on every backend.
+  - "ref":    pure-JAX im2col gather+einsum (ops/dcn_ref.py) — the parity
+              oracle; O(B*HW*K*C) memory, test use only.
 Select globally via set_dcn_impl() or per-call via impl=.
 """
 
@@ -14,8 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
-
+from dynavsr_tpu.ops.dcn_fused import deform_conv2d_fused
 from dynavsr_tpu.ops.dcn_ref import deform_conv2d_ref
 
 _IMPL = "auto"
@@ -23,21 +23,14 @@ _IMPL = "auto"
 
 def set_dcn_impl(impl: str) -> None:
     global _IMPL
-    if impl not in ("auto", "ref", "pallas"):
+    if impl not in ("auto", "ref", "fused"):
         raise ValueError(f"unknown dcn impl {impl!r}")
     _IMPL = impl
 
 
 def _resolve(impl: Optional[str]) -> str:
     choice = impl or _IMPL
-    if choice == "auto":
-        # Pallas kernel targets TPU; interpret-mode on CPU is only for tests.
-        try:
-            on_tpu = jax.default_backend() not in ("cpu",)
-        except Exception:
-            on_tpu = False
-        return "pallas" if on_tpu else "ref"
-    return choice
+    return "fused" if choice == "auto" else choice
 
 
 def deform_conv2d(
@@ -60,15 +53,7 @@ def deform_conv2d(
     weight: HWIO.
     """
     choice = _resolve(impl)
-    if choice == "pallas":
-        try:
-            from dynavsr_tpu.ops.dcn_pallas import deform_conv2d_pallas
-        except ImportError:
-            choice = "ref"
-    if choice == "pallas":
-        return deform_conv2d_pallas(
-            x, offset, mask, weight, bias, stride, padding, dilation, groups, deformable_groups
-        )
-    return deform_conv2d_ref(
+    fn = deform_conv2d_fused if choice == "fused" else deform_conv2d_ref
+    return fn(
         x, offset, mask, weight, bias, stride, padding, dilation, groups, deformable_groups
     )

@@ -1,0 +1,8 @@
+from dynavsr_tpu.utils.util import (  # noqa: F401
+    ProgressBar,
+    get_timestamp,
+    mkdir_and_rename,
+    mkdirs,
+    set_random_seed,
+    setup_logger,
+)

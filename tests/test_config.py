@@ -1,0 +1,60 @@
+"""Config system tests (reference options/options.py parity)."""
+
+import os.path as osp
+
+from dynavsr_tpu.config import check_resume, dict2str, parse
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def test_parse_train_config(tmp_path):
+    opt = parse(
+        osp.join(REPO, "configs/train/train_EDVR_M_REDS.yml"),
+        is_train=True,
+        root=str(tmp_path),
+    )
+    assert opt["is_train"] is True
+    assert opt["scale"] == 4
+    assert opt["datasets"]["train"]["phase"] == "train"
+    assert opt["datasets"]["train"]["scale"] == 4
+    assert opt["datasets"]["val"]["phase"] == "val"
+    assert opt["datasets"]["train"]["data_type"] == "img"
+    assert opt["path"]["models"].endswith("experiments/EDVR_M_REDS/models")
+    assert opt["path"]["val_images"]
+    # NoneDict: missing keys read as None, nested too
+    assert opt["nonexistent_key"] is None
+    assert opt["network_G"]["missing"] is None
+    assert opt["train"]["lr_G"] == 4e-4
+    assert opt["train"]["T_period"] == [150000] * 4
+
+
+def test_parse_test_config(tmp_path):
+    opt = parse(
+        osp.join(REPO, "configs/test/test_EDVR_M_REDS4.yml"),
+        is_train=False,
+        root=str(tmp_path),
+    )
+    assert opt["is_train"] is False
+    assert opt["path"]["results_root"].endswith("results/EDVR_M_REDS4")
+    assert opt["datasets"]["test"]["phase"] == "test"
+
+
+def test_lmdb_detection(tmp_path):
+    yml = tmp_path / "c.yml"
+    yml.write_text(
+        "name: x\nscale: 4\ndatasets:\n  train:\n    dataroot_GT: /data/gt.lmdb\n"
+    )
+    opt = parse(str(yml), is_train=True, root=str(tmp_path))
+    assert opt["datasets"]["train"]["data_type"] == "lmdb"
+
+
+def test_dict2str_and_check_resume(tmp_path):
+    yml = tmp_path / "c.yml"
+    yml.write_text(
+        "name: x\nscale: 4\npath:\n  resume_state: /some/state\n"
+    )
+    opt = parse(str(yml), is_train=True, root=str(tmp_path))
+    s = dict2str(opt)
+    assert "name: x" in s
+    check_resume(opt, 5000)
+    assert opt["path"]["pretrain_model_G"].endswith("5000_G.ckpt")

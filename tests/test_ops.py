@@ -212,3 +212,68 @@ def test_dcn_grads_flow():
     for g in grads:
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.abs(g).max()) > 0
+
+
+# ------------------------------------------------------- fused (production) DCN
+def test_dcn_fused_matches_ref():
+    from dynavsr_tpu.ops.dcn_fused import deform_conv2d_fused
+
+    rng = np.random.default_rng(8)
+    for groups, gd, stride in [(1, 1, 1), (1, 2, 1), (2, 2, 1), (1, 1, 2)]:
+        b, h, cin, cout = 2, 7, 4, 4
+        w = 6
+        k = 9
+        ho = (h + 2 - 3) // stride + 1
+        wo = (w + 2 - 3) // stride + 1
+        x = jnp.asarray(rng.random((b, h, w, cin)).astype(np.float32))
+        weight = jnp.asarray(
+            (rng.random((3, 3, cin // groups, cout)) - 0.5).astype(np.float32))
+        bias = jnp.asarray(rng.random((cout,)).astype(np.float32))
+        offset = jnp.asarray(
+            ((rng.random((b, ho, wo, 2 * gd * k)) - 0.5) * 4).astype(np.float32))
+        mask = jnp.asarray(rng.random((b, ho, wo, gd * k)).astype(np.float32))
+        ref = deform_conv2d_ref(x, offset, mask, weight, bias, stride=stride,
+                                groups=groups, deformable_groups=gd)
+        fused = deform_conv2d_fused(x, offset, mask, weight, bias, stride=stride,
+                                    groups=groups, deformable_groups=gd)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_dcn_fused_no_mask_matches_ref():
+    from dynavsr_tpu.ops.dcn_fused import deform_conv2d_fused
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((1, 5, 5, 2)).astype(np.float32))
+    weight = jnp.asarray(rng.random((3, 3, 2, 3)).astype(np.float32))
+    offset = jnp.asarray(((rng.random((1, 5, 5, 18)) - 0.5) * 3).astype(np.float32))
+    ref = deform_conv2d_ref(x, offset, None, weight)
+    fused = deform_conv2d_fused(x, offset, None, weight)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+
+
+def test_dcn_fused_grads_match_ref():
+    from dynavsr_tpu.ops.dcn_fused import deform_conv2d_fused
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.random((1, 6, 6, 4)).astype(np.float32))
+    weight = jnp.asarray((rng.random((3, 3, 4, 4)) - 0.5).astype(np.float32))
+    bias = jnp.asarray(rng.random((4,)).astype(np.float32))
+    # random float offsets land on integers with probability ~0, so the
+    # floor() kink (where ref/fused grads could differ) is not hit
+    offset = jnp.asarray(
+        ((rng.random((1, 6, 6, 2 * 2 * 9)) - 0.5) * 2).astype(np.float32))
+    mask = jnp.asarray(rng.random((1, 6, 6, 2 * 9)).astype(np.float32))
+
+    def make_loss(fn):
+        def loss(x, offset, mask, weight, bias):
+            return jnp.sum(fn(x, offset, mask, weight, bias,
+                              deformable_groups=2) ** 2)
+        return loss
+
+    g_ref = jax.grad(make_loss(deform_conv2d_ref), argnums=(0, 1, 2, 3, 4))(
+        x, offset, mask, weight, bias)
+    g_fused = jax.grad(make_loss(deform_conv2d_fused), argnums=(0, 1, 2, 3, 4))(
+        x, offset, mask, weight, bias)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-3)
