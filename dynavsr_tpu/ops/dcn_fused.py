@@ -2,34 +2,42 @@
 
 Replaces the reference CUDA kernel chain (im2col bilinear-gather kernel +
 GEMM, models/archs/dcn/src/deform_conv_cuda_kernel.cu — SURVEY.md §2.2 [H])
-with a formulation designed for XLA on TPU:
+with a formulation shaped by measured v5e behavior:
 
-  * The (B, Ho, Wo, K, Cin) im2col buffer is NEVER materialized. We scan
-    over the K kernel taps; each step does a 4-corner bilinear gather
-    (XLA row-gather — measured >1 TB/s effective on v5e), modulates by the
-    mask, and accumulates one (B*Ho*Wo, Cin) x (Cin, Cout) matmul on the
-    MXU in fp32.
-  * Each scan step is wrapped in jax.checkpoint, so the backward pass
-    re-gathers tap-by-tap instead of saving columns: peak memory drops from
-    O(B*HW*K*C) to O(B*HW*C) — this is what lets EDVR-M train/adapt at
-    Vid4 resolution inside 16 GB of HBM (the unfused reference formulation
-    OOMs at 38 GB).
-  * Gradients flow through JAX autodiff: gather VJP -> scatter-add
-    (measured ~1.1 TB/s), and the offset gradient matches the analytic
-    CUDA backward (dmcn_get_coordinate_weight) away from integer
-    positions.
+  * TPU vector-addressed loads are ROW-COUNT bound (~1.5-2.8 ns per
+    gathered row almost regardless of row width) and collapse ~12x when
+    the source spills from VMEM to HBM. The kernel therefore
+    (a) scans over frames so each gather source stays VMEM-resident,
+    (b) packs the two VERTICAL bilinear corners into one row — source is
+        concat(x_pad, roll(x_pad, -row_stride)) so row p carries both
+        (y0, x) and (y0+1, x) — halving row count,
+    (c) zero-pads the frame by a 2-pixel ring and clamps corner coords
+        into the ring, which reproduces the CUDA kernel's zero-outside
+        semantics with NO per-corner masks, and
+    (d) performs one (HW, K*C) x (K*C, Cout) MXU matmul per frame.
+    Measured: ~0.7 ms per 144x176x64 frame per DCN call (Gd=1) vs 94 ms
+    for the naive global formulation.
+  * Each frame's step is wrapped in jax.checkpoint: backward re-gathers
+    frame-by-frame instead of saving im2col columns. Peak memory
+    O(HW*K*C) per frame — the unfused formulation OOMs at 38 GB on a
+    16 GB chip at Vid4 shapes.
+  * Gradients flow through JAX autodiff: gather VJP -> scatter-add; offset
+    grads match the analytic CUDA backward (dmcn_get_coordinate_weight)
+    away from integer positions.
 
-A hand-written Pallas gather kernel was evaluated and rejected: Mosaic's
+A hand-written Pallas kernel was evaluated and rejected: Mosaic's
 tpu.dynamic_gather is a within-vreg permute ("Multiple source vregs along
-gather dimension" is unimplemented), while XLA's own gather already runs
-near VMEM bandwidth at these sizes. The MXU work is a plain dot, which XLA
-schedules optimally. Layout contract (offset/mask channel order) is
-identical to ops/dcn_ref.py, the parity oracle.
+gather dimension" unimplemented), and XLA's row gather already runs at the
+hardware's vector-load rate. NOTE deformable_groups=G costs G x the samples
+of G=1 (per-group positions need narrow rows): prefer Gd=1 in TPU-flagship
+configs, keep Gd=8 for reference-checkpoint parity.
+
+Layout contract (offset/mask channel order) is identical to
+ops/dcn_ref.py, the parity oracle.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -68,80 +76,84 @@ def deform_conv2d_fused(
     ho = _out_size(h, kh, stride, padding, dilation)
     wo = _out_size(w, kw, stride, padding, dilation)
     hw = ho * wo
+    # 2-pixel zero-pad ring: clamping y0 into [-2, h+1] keeps the invariant
+    # "a truly-outside corner lands on a zero row AND its +1 neighbor is
+    # still zero unless the true neighbor is inside" (a 1-pixel ring breaks
+    # it for corners more than 1px outside).
+    hp, wp = h + 4, w + 4
 
-    # Output-pixel base coordinates (top-left tap), fp32 for index math.
+    # Base sampling position (top-left tap) per output pixel, fp32.
     oy = (jnp.arange(ho, dtype=jnp.float32) * stride - padding)[:, None]
     ox = (jnp.arange(wo, dtype=jnp.float32) * stride - padding)[None, :]
-
-    # Per-tap scan inputs, tap axis leading.
-    off = offset.astype(jnp.float32).reshape(b, hw, gd, k, 2)
-    off_k = off.transpose(3, 0, 1, 2, 4)  # (K, B, HW, Gd, 2)
-    if mask is not None:
-        m_k = mask.reshape(b, hw, gd, k).transpose(3, 0, 1, 2)  # (K, B, HW, Gd)
-    w_k = weight.reshape(k, cin_g, cout)
-    ty = (jnp.arange(kh, dtype=jnp.float32) * dilation).repeat(kw)  # (K,)
-    tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) * dilation, kh)  # (K,)
-
-    base_y = jnp.broadcast_to(oy, (ho, wo)).reshape(hw)  # fp32 y of top-left tap
+    base_y = jnp.broadcast_to(oy, (ho, wo)).reshape(hw)
     base_x = jnp.broadcast_to(ox, (ho, wo)).reshape(hw)
+    ty = (jnp.arange(kh, dtype=jnp.float32) * dilation).repeat(kw)  # (K,)
+    tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) * dilation, kh)
 
-    # Source rows: (B*H*W*Gd, cg); row id for (b, p, g) = (b*H*W + p)*Gd + g.
-    xsrc = x.reshape(b * h * w * gd, cg)
-    b_iota = jnp.arange(b, dtype=jnp.int32)[:, None, None]  # (B,1,1)
-    g_iota = jnp.arange(gd, dtype=jnp.int32)[None, None, :]  # (1,1,Gd)
+    offs = offset.astype(jnp.float32).reshape(b, hw, gd, k, 2)
+    masks = None if mask is None else mask.reshape(b, hw, gd, k)
 
     compute_dtype = x.dtype
+    w_mat = weight.reshape(k * cin_g, cout).astype(compute_dtype)
 
-    def tap_body(acc, xs):
-        if mask is not None:
-            o_t, m_t, w_t, ty_t, tx_t = xs
+    row_stride = wp * gd  # rows between (y, x) and (y+1, x) in packed layout
+
+    def frame_body(carry, xs):
+        if masks is not None:
+            xf, of, mf = xs
         else:
-            o_t, w_t, ty_t, tx_t = xs
-        ys = base_y[None, :, None] + ty_t + o_t[..., 0]  # (B, HW, Gd)
-        xq = base_x[None, :, None] + tx_t + o_t[..., 1]
+            xf, of = xs
+            mf = None
+        # Packed, padded source: (hp*wp*gd, 2*cg); row p = [x(y,x), x(y+1,x)].
+        xpad = jnp.pad(
+            xf.reshape(h, w, gd, cg), ((2, 2), (2, 2), (0, 0), (0, 0))
+        ).reshape(hp * wp * gd, cg)
+        src = jnp.concatenate([xpad, jnp.roll(xpad, -row_stride, axis=0)], axis=-1)
+
+        # positions: (HW, Gd, K); +1 shift into the padded frame.
+        ys = base_y[:, None, None] + ty[None, None, :] + of[..., 0]
+        xq = base_x[:, None, None] + tx[None, None, :] + of[..., 1]
         y0 = jnp.floor(ys)
         x0 = jnp.floor(xq)
-        wy1 = (ys - y0).astype(compute_dtype)
-        wx1 = (xq - x0).astype(compute_dtype)
+        wy1 = (ys - y0).astype(compute_dtype)[..., None]
+        wx1 = (xq - x0).astype(compute_dtype)[..., None]
         wy0 = 1.0 - wy1
         wx0 = 1.0 - wx1
-        y0i = y0.astype(jnp.int32)
-        x0i = x0.astype(jnp.int32)
+        # Clamp into [-2, size+1]: every truly-outside corner (and its +1
+        # neighbor, unless truly inside) lands in the zero ring, reproducing
+        # zero-outside contributions without masks.
+        y0i = jnp.clip(y0.astype(jnp.int32), -2, h + 1)
+        x0i = jnp.clip(x0.astype(jnp.int32), -2, w + 1)
+        g_iota = jnp.arange(gd, dtype=jnp.int32)[None, :, None]
+        p = ((y0i + 2) * wp + (x0i + 2)) * gd + g_iota  # (HW, Gd, K)
+        p = p.reshape(-1)
 
-        def corner(yi, xi, wgt):
-            inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-            yc = jnp.clip(yi, 0, h - 1)
-            xc = jnp.clip(xi, 0, w - 1)
-            rows = (b_iota * (h * w) + yc * w + xc) * gd + g_iota
-            vals = jnp.take(xsrc, rows.reshape(-1), axis=0).reshape(b, hw, gd, cg)
-            return vals * (wgt * inside.astype(compute_dtype))[..., None]
-
-        val = corner(y0i, x0i, wy0 * wx0)
-        val += corner(y0i, x0i + 1, wy0 * wx1)
-        val += corner(y0i + 1, x0i, wy1 * wx0)
-        val += corner(y0i + 1, x0i + 1, wy1 * wx1)
-        if mask is not None:
-            val = val * m_t[..., None].astype(compute_dtype)
-        val = val.reshape(b * hw, cin)
+        v_l = jnp.take(src, p, axis=0, mode="clip").reshape(hw, gd, k, 2 * cg)
+        v_r = jnp.take(src, p + gd, axis=0, mode="clip").reshape(hw, gd, k, 2 * cg)
+        left = wy0 * v_l[..., :cg] + wy1 * v_l[..., cg:]
+        right = wy0 * v_r[..., :cg] + wy1 * v_r[..., cg:]
+        cols = wx0 * left + wx1 * right  # (HW, Gd, K, cg)
+        if mf is not None:
+            cols = cols * mf[..., None].astype(compute_dtype)
+        # -> (HW, K, Gd*cg=Cin): im2col channel order within a tap is the
+        # original Cin order (group-major).
+        cols = cols.transpose(0, 2, 1, 3).reshape(hw, k * cin)
 
         if groups == 1:
-            contrib = jax.lax.dot(
-                val, w_t.astype(compute_dtype),
-                preferred_element_type=jnp.float32,
-            )
+            contrib = jax.lax.dot(cols, w_mat, preferred_element_type=jnp.float32)
         else:
-            val_g = val.reshape(b * hw, groups, cin_g)
-            w_g = w_t.reshape(cin_g, groups, cout // groups).astype(compute_dtype)
+            cols_g = cols.reshape(hw, k, groups, cin_g)
+            w_g = weight.reshape(k, cin_g, groups, cout // groups).astype(compute_dtype)
             contrib = jnp.einsum(
-                "pgc,cgo->pgo", val_g, w_g, preferred_element_type=jnp.float32
-            ).reshape(b * hw, cout)
-        return acc + contrib, None
+                "pkgc,kcgo->pgo", cols_g, w_g, preferred_element_type=jnp.float32
+            ).reshape(hw, cout)
+        return carry, contrib
 
-    xs = (off_k, m_k, w_k, ty, tx) if mask is not None else (off_k, w_k, ty, tx)
-    acc0 = jnp.zeros((b * hw, cout), jnp.float32)
-    acc, _ = jax.lax.scan(jax.checkpoint(tap_body), acc0, xs)
+    xs_frames = x.reshape(b, h * w, cin)
+    xs = (xs_frames, offs, masks) if masks is not None else (xs_frames, offs)
+    _, out = jax.lax.scan(jax.checkpoint(frame_body), 0.0, xs)
 
-    out = acc.reshape(b, ho, wo, cout).astype(x.dtype)
+    out = out.reshape(b, ho, wo, cout).astype(x.dtype)
     if bias is not None:
         out = out + bias
     return out
