@@ -1,0 +1,109 @@
+"""DynaVSR adaptation eval — reference test_dynavsr-style script
+(SURVEY.md §3.4 [behavior H, name L]).
+
+Per clip: MFDN estimates the degradation (LR -> SLR), the VSR net runs k
+adaptation steps on (SLR window -> LR center) then slides over the clip —
+all ONE jitted adapt_and_infer per clip (lax.scan inner loop); clips are
+independent, so multi-chip runs shard clips across devices.
+
+    python -m dynavsr_tpu.cli.test_dynavsr -opt configs/test/test_DynaVSR_Vid4.yml
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os.path as osp
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", required=True)
+    parser.add_argument("--no-save-images", action="store_true")
+    args = parser.parse_args(argv)
+
+    from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
+    from dynavsr_tpu.config import dict2str, parse
+    from dynavsr_tpu.data.loader import create_dataset
+    from dynavsr_tpu.data.windows import all_windows
+    from dynavsr_tpu.eval.harness import score_frames
+    from dynavsr_tpu.models.networks import define_G
+    from dynavsr_tpu.models.video_base_model import VideoBaseModel
+    from dynavsr_tpu.utils import mkdirs, setup_logger
+
+    opt = parse(args.opt, is_train=False)
+    mkdirs(opt["path"]["results_root"])
+    setup_logger("base", opt["path"]["log"], "test", screen=True, tofile=True)
+    logger = logging.getLogger("base")
+    logger.info(dict2str(opt))
+
+    scale = opt.get("scale", 4)
+    n_frames = (opt["network_G"] or {}).get("nframes", 5)
+
+    # VSR net with meta-trained weights
+    vsr = VideoBaseModel(opt)
+
+    # Degradation estimator (MFDN/SFDN)
+    est_opt = opt.get("network_E") or {"which_model_G": "MFDN", "nf": 64}
+    estimator = define_G({"scale": scale, "network_G": est_opt})
+    est_params = jax.jit(estimator.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, n_frames, 32, 32, 3))
+    )
+    est_path = (opt.get("path") or {}).get("pretrain_model_E")
+    if est_path:
+        est_params = vsr.load_pretrained(est_path, est_params)
+    est_fwd = jax.jit(estimator.apply)
+
+    a = opt.get("adapt") or {}
+    cfg = AdaptConfig(
+        n_steps=int(a.get("n_steps") or 5),
+        lr=float(a.get("lr") or 1e-6),
+        optimizer=a.get("optimizer") or "adam",
+        infer_chunk=int(a.get("infer_chunk") or 8),
+    )
+    run = make_adapt_and_infer(vsr.netG, cfg)
+
+    results = {}
+    for name, dataset_opt in (opt["datasets"] or {}).items():
+        test_set = create_dataset(dataset_opt)
+        for clip in test_set.names:
+            lq = test_set.clip_frames(clip)
+            gt = test_set.clip_frames(clip, gt=True) if test_set.gt_index else None
+            t = lq.shape[0]
+            win = all_windows(t, n_frames, dataset_opt.get("padding") or "reflection")
+            lr_windows = jnp.asarray(lq[win])
+            n_adapt = min(int(a.get("n_windows") or 8), t)
+            adapt_windows = lr_windows[:n_adapt]
+            slr_windows = est_fwd(est_params, adapt_windows)
+            lr_centers = adapt_windows[:, n_frames // 2]
+            sr, losses = run(vsr.state.params, slr_windows, lr_centers, lr_windows)
+            sr = np.asarray(sr)
+
+            ev = opt.get("eval") or {}
+            res = score_frames(
+                sr, gt,
+                ycbcr=bool(ev.get("ycbcr", True)),
+                crop_border=int(ev.get("crop_border") or 0),
+                save_dir=None if args.no_save_images else osp.join(
+                    opt["path"]["results_root"], clip),
+            )
+            res["adapt_losses"] = np.asarray(losses).tolist()
+            results[clip] = res
+            if "psnr_avg" in res:
+                logger.info("Clip %s: PSNR %.4f SSIM %.4f (adapted, %d steps)",
+                            clip, res["psnr_avg"], res["ssim_avg"], cfg.n_steps)
+    if any("psnr_avg" in r for r in results.values()):
+        avg_p = float(np.mean([r["psnr_avg"] for r in results.values()]))
+        avg_s = float(np.mean([r["ssim_avg"] for r in results.values()]))
+        logger.info("Average (adapted): PSNR %.4f SSIM %.4f", avg_p, avg_s)
+        results["_avg"] = {"psnr_avg": avg_p, "ssim_avg": avg_s}
+    return results
+
+
+if __name__ == "__main__":
+    main()

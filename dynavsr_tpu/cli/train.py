@@ -1,0 +1,173 @@
+"""Training entry point — reference train.py (SURVEY.md §2.5, §3.1 [H]).
+
+    python -m dynavsr_tpu.cli.train -opt configs/train/train_EDVR_M_REDS.yml
+
+Drives all three trainer kinds via opt['model'] (video_base | downscaler |
+video_meta): the reference's separate train / train_downscaler /
+meta-train scripts share this skeleton; thin aliases exist for the
+reference names. Multi-host: jax.distributed.initialize() when
+opt['dist']; data sharded per process (loader), logs/ckpt on process 0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def synthesize_meta_batch(key, hr: np.ndarray, scale: int):
+    """Device-side (SLR, LR, centers) from HR windows (SURVEY.md §3.3)."""
+    from dynavsr_tpu.data.degradations import synthesize_pair
+
+    hr_j = jnp.asarray(hr)
+    lr, slr, _ = synthesize_pair(key, hr_j, scale)
+    c = hr.shape[1] // 2
+    return {
+        "SLR": slr,
+        "LR": lr,
+        "LR_center": lr[:, c],
+        "HR_center": hr_j[:, c],
+    }
+
+
+def synthesize_downscaler_batch(key, hr: np.ndarray, scale: int):
+    from dynavsr_tpu.data.degradations import synthesize_pair
+
+    lr, slr, _ = synthesize_pair(key, jnp.asarray(hr), scale)
+    return {"LR": lr, "SLR": slr}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", required=True, help="Path to YAML config.")
+    parser.add_argument("--launcher", default="none", choices=["none", "jax"])
+    parser.add_argument("--max-iters", type=int, default=None,
+                        help="Override train.niter (smoke tests).")
+    args = parser.parse_args(argv)
+
+    from dynavsr_tpu.config import dict2str, parse
+    from dynavsr_tpu.data.loader import create_dataloader, create_dataset
+    from dynavsr_tpu.models.video_base_model import create_model
+    from dynavsr_tpu.utils import mkdir_and_rename, mkdirs, set_random_seed, setup_logger
+
+    if args.launcher == "jax":
+        jax.distributed.initialize()
+
+    opt = parse(args.opt, is_train=True)
+    rank0 = jax.process_index() == 0
+
+    if rank0:
+        mkdir_and_rename(opt["path"]["experiments_root"])
+        mkdirs([opt["path"]["models"], opt["path"]["training_state"],
+                opt["path"]["val_images"]])
+    setup_logger("base", opt["path"]["log"], "train", screen=rank0, tofile=rank0)
+    logger = logging.getLogger("base")
+    if rank0:
+        logger.info(dict2str(opt))
+
+    seed = opt["train"].get("manual_seed") or 0
+    set_random_seed(seed)
+
+    # ---- data
+    train_loader = val_set = None
+    for phase_key, dataset_opt in (opt["datasets"] or {}).items():
+        phase = dataset_opt["phase"]
+        if phase == "train":
+            train_set = create_dataset(dataset_opt)
+            train_loader = create_dataloader(train_set, dataset_opt, opt)
+            logger.info("Train set: %d items, %d batches/epoch",
+                        len(train_set), len(train_loader))
+        elif phase == "val":
+            val_set = create_dataset(dataset_opt)
+    assert train_loader is not None, "no train dataset in config"
+
+    # ---- model
+    model = create_model(opt)
+    niter = args.max_iters or int(opt["train"].get("niter") or 600000)
+    start_epoch, current_step = 0, 0
+    if opt["path"].get("resume_state"):
+        start_epoch = model.resume_training(opt["path"]["resume_state"])
+        current_step = int(model.state.step)
+        logger.info("Resumed from iter %d (epoch %d)", current_step, start_epoch)
+
+    which = opt.get("model", "video_base")
+    scale = opt.get("scale", 4)
+    key = jax.random.PRNGKey(seed)
+
+    print_freq = int(opt["logger"].get("print_freq") or 100) if opt.get("logger") else 100
+    save_freq = int(opt["logger"].get("save_checkpoint_freq") or 5000) if opt.get("logger") else 5000
+    val_freq = int(opt["train"].get("val_freq") or 5000)
+
+    total_epochs = max(1, math.ceil(niter / max(1, len(train_loader))))
+    t_last = time.time()
+    done = False
+    for epoch in range(start_epoch, total_epochs + 1):
+        if done:
+            break
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            if current_step >= niter:
+                done = True
+                break
+            current_step += 1
+            if which in ("video_meta", "meta", "dynavsr"):
+                key, k = jax.random.split(key)
+                model.feed_data(synthesize_meta_batch(k, batch["HR"], scale))
+            elif which in ("downscaler", "estimator"):
+                key, k = jax.random.split(key)
+                src = batch.get("HR", batch.get("GT"))
+                model.feed_data(synthesize_downscaler_batch(k, src, scale))
+            else:
+                model.feed_data(batch)
+            model.optimize_parameters(current_step)
+
+            if rank0 and current_step % print_freq == 0:
+                logs = model.get_current_log()
+                dt = (time.time() - t_last) / print_freq
+                t_last = time.time()
+                msg = " ".join(f"{k}: {v:.4e}" for k, v in logs.items())
+                logger.info("<epoch:%3d, iter:%8d, lr:%.3e, time:%.3fs> %s",
+                            epoch, current_step, model.get_current_learning_rate(),
+                            dt, msg)
+
+            if rank0 and val_set is not None and current_step % val_freq == 0:
+                _validate(model, val_set, opt, current_step, logger)
+
+            if rank0 and current_step % save_freq == 0:
+                logger.info("Saving models and training states.")
+                model.save(current_step)
+                model.save_training_state(epoch, current_step)
+
+    if rank0:
+        logger.info("Saving the final model.")
+        model.save(current_step)
+        model.save_training_state(total_epochs, current_step)
+        logger.info("End of training.")
+    return current_step
+
+
+def _validate(model, val_set, opt, step, logger):
+    from dynavsr_tpu.eval.harness import evaluate_dataset
+
+    n_frames = (opt["network_G"] or {}).get("nframes", 5)
+    results = evaluate_dataset(
+        lambda w: model._eval_step(model.state.params, jnp.asarray(w)),
+        val_set,
+        n_frames=n_frames,
+        padding=(opt["datasets"].get("val") or {}).get("padding") or "reflection",
+        logger=None,
+    )
+    if "_avg" in results:
+        logger.info("# Validation iter %d # PSNR: %.4f SSIM: %.4f", step,
+                    results["_avg"]["psnr_avg"], results["_avg"]["ssim_avg"])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,232 @@
+"""Dataset classes — reference data/ package parity (SURVEY.md §2.4 [H]).
+
+REDSDataset        <- data/REDS_dataset.py: LMDB/img-backed N-frame windows,
+                      REDS4 clips (000/011/015/020) excluded from training,
+                      interval_list, random_reverse, paired random crop,
+                      flip/rot augmentation, N-to-1 (GT = center frame).
+Vimeo90KDataset    <- data/Vimeo90K_dataset.py: septuplet N-to-1.
+VideoTestDataset   <- data/video_test_dataset.py: whole clips in memory,
+                      every frame a center, index_generation borders.
+MetaVideoDataset   <- data/meta_learner/* [M]: yields HR windows; the
+                      (LR, SLR) degradation synthesis runs ON DEVICE inside
+                      the jitted step (data/degradations.py) — TPU-first
+                      redesign of the reference's host-side kernel synthesis.
+
+All datasets return numpy float32 RGB in [0, 1], NHWC, frames stacked on
+axis 0 — feed through data/loader.py for batching + device placement.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import random
+from typing import Dict, List, Mapping, Optional, Sequence
+
+import numpy as np
+
+from dynavsr_tpu.data.io import glob_clip_folders, read_img, read_img_seq
+from dynavsr_tpu.data.windows import index_generation
+
+__all__ = [
+    "REDSDataset",
+    "Vimeo90KDataset",
+    "VideoTestDataset",
+    "MetaVideoDataset",
+    "augment",
+    "paired_random_crop",
+]
+
+REDS4_CLIPS = ("000", "011", "015", "020")  # REDS_dataset.py exclusion [H]
+
+
+def augment(
+    imgs: List[np.ndarray], hflip: bool, vflip: bool, rot90: bool
+) -> List[np.ndarray]:
+    """Joint flip/rotate augmentation (reference data/util.py:augment [H])."""
+    out = []
+    for img in imgs:
+        if hflip:
+            img = img[:, ::-1]
+        if vflip:
+            img = img[::-1]
+        if rot90:
+            img = img.transpose(1, 0, 2) if img.ndim == 3 else img.T
+        out.append(np.ascontiguousarray(img))
+    return out
+
+
+def paired_random_crop(
+    lqs: np.ndarray, gt: np.ndarray, lq_size: int, scale: int, rng: random.Random
+) -> tuple:
+    """Consistent random crop of an LQ stack and its GT (reference
+    REDS_dataset crop logic [H]). lqs: (T, h, w, 3); gt: (H, W, 3)."""
+    _, h, w, _ = lqs.shape
+    top = rng.randint(0, h - lq_size)
+    left = rng.randint(0, w - lq_size)
+    lq_crop = lqs[:, top : top + lq_size, left : left + lq_size]
+    gt_size = lq_size * scale
+    gt_crop = gt[
+        top * scale : top * scale + gt_size, left * scale : left * scale + gt_size
+    ]
+    return lq_crop, gt_crop
+
+
+class _ClipIndex:
+    """Shared clip discovery for folder-backed datasets."""
+
+    def __init__(self, root: str):
+        self.clips = glob_clip_folders(root)
+        if not self.clips:
+            raise FileNotFoundError(f"no clip folders under {root}")
+        self.names = list(self.clips)
+
+
+class REDSDataset:
+    """Training windows from REDS-style clip folders.
+
+    opt keys (reference yml names): dataroot_GT, dataroot_LQ, N_frames,
+    interval_list, random_reverse, GT_size, LQ_size, use_flip, use_rot,
+    scale, phase.
+    """
+
+    def __init__(self, opt: Mapping):
+        self.opt = opt
+        self.scale = opt.get("scale", 4)
+        self.n_frames = opt.get("N_frames", 5)
+        self.interval_list = list(opt.get("interval_list") or [1])
+        self.random_reverse = bool(opt.get("random_reverse", False))
+        self.lq_size = opt.get("LQ_size", 64)
+        self.use_flip = opt.get("use_flip", True) is not False
+        self.use_rot = opt.get("use_rot", True) is not False
+        self.gt_index = _ClipIndex(opt["dataroot_GT"])
+        self.lq_index = _ClipIndex(opt["dataroot_LQ"])
+        exclude = REDS4_CLIPS if opt.get("phase", "train") == "train" else ()
+        self.names = [n for n in self.gt_index.names if n not in exclude]
+        self.lengths = {n: len(self.gt_index.clips[n]) for n in self.names}
+
+    def __len__(self) -> int:
+        return sum(self.lengths.values())
+
+    def _locate(self, index: int):
+        for n in self.names:
+            if index < self.lengths[n]:
+                return n, index
+            index -= self.lengths[n]
+        raise IndexError(index)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rng = random.Random(hash((id(self) & 0xFFFF, index, np.random.randint(1 << 30))))
+        clip, center = self._locate(index)
+        t = self.lengths[clip]
+        interval = rng.choice(self.interval_list)
+        half = self.n_frames // 2
+        # Reference behavior: re-center the window inside the clip bounds.
+        center = min(max(center, half * interval), t - 1 - half * interval)
+        idxs = list(range(center - half * interval, center + half * interval + 1, interval))
+        if self.random_reverse and rng.random() < 0.5:
+            idxs.reverse()
+        lqs = read_img_seq([self.lq_index.clips[clip][i] for i in idxs])
+        gt = read_img(self.gt_index.clips[clip][idxs[len(idxs) // 2]])
+        lqs, gt = paired_random_crop(lqs, gt, self.lq_size, self.scale, rng)
+        hflip = self.use_flip and rng.random() < 0.5
+        vflip = self.use_rot and rng.random() < 0.5
+        rot = self.use_rot and rng.random() < 0.5
+        frames = augment(list(lqs) + [gt], hflip, vflip, rot)
+        lqs = np.stack(frames[:-1], axis=0)
+        gt = frames[-1]
+        return {"LQs": lqs, "GT": gt, "key": f"{clip}_{idxs[len(idxs) // 2]:08d}"}
+
+
+class Vimeo90KDataset(REDSDataset):
+    """Vimeo90K septuplets: same pipeline, clips are 7-frame sequences
+    (reference data/Vimeo90K_dataset.py [H]). Folder layout:
+    dataroot/<sequence>/<frame>.png (any nesting via glob)."""
+
+    def __init__(self, opt: Mapping):
+        opt = dict(opt)
+        opt.setdefault("N_frames", 7)
+        super().__init__(opt)
+        self.names = self.gt_index.names  # no REDS4 exclusion
+
+
+class VideoTestDataset:
+    """Whole-clip eval set (Vid4 / REDS4 / Vimeo90K-T) — reference
+    data/video_test_dataset.py [H]. Yields one item per frame with window
+    indices, clip/frame metadata for per-clip grouping."""
+
+    def __init__(self, opt: Mapping):
+        self.opt = opt
+        self.scale = opt.get("scale", 4)
+        self.n_frames = opt.get("N_frames", 5)
+        self.padding = opt.get("padding", "reflection")
+        self.cache_data = opt.get("cache_data", True) is not False
+        self.gt_root = opt.get("dataroot_GT")
+        self.lq_index = _ClipIndex(opt["dataroot_LQ"])
+        self.gt_index = _ClipIndex(self.gt_root) if self.gt_root else None
+        self.names = self.lq_index.names
+        self._cache: Dict[str, np.ndarray] = {}
+        self.items = []
+        for clip in self.names:
+            t = len(self.lq_index.clips[clip])
+            for i in range(t):
+                self.items.append((clip, i, t))
+
+    def clip_frames(self, clip: str, gt: bool = False) -> np.ndarray:
+        index = self.gt_index if gt else self.lq_index
+        key = ("gt:" if gt else "lq:") + clip
+        if key not in self._cache:
+            arr = read_img_seq(index.clips[clip])
+            if self.cache_data:
+                self._cache[key] = arr
+            return arr
+        return self._cache[key]
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, index: int) -> Dict:
+        clip, i, t = self.items[index]
+        sel = index_generation(i, t, self.n_frames, self.padding)
+        lq = self.clip_frames(clip)
+        item = {
+            "LQs": lq[sel],
+            "folder": clip,
+            "idx": f"{i}/{t}",
+            "border": int(i < self.n_frames // 2 or i >= t - self.n_frames // 2),
+        }
+        if self.gt_index is not None:
+            item["GT"] = self.clip_frames(clip, gt=True)[i]
+        return item
+
+
+class MetaVideoDataset:
+    """Meta-training items: HR windows only; LR/SLR synthesized on device
+    (SURVEY.md §2.4 meta_learner row — behavior [H], redesigned TPU-first:
+    the random Gaussian kernel + blur-downsample runs under jit via
+    data/degradations.py:synthesize_pair)."""
+
+    def __init__(self, opt: Mapping):
+        self.opt = opt
+        self.scale = opt.get("scale", 4)
+        self.n_frames = opt.get("N_frames", 5)
+        self.hr_size = opt.get("GT_size", 128)
+        self.index = _ClipIndex(opt["dataroot_GT"])
+        self.names = self.index.names
+        self.lengths = {n: len(self.index.clips[n]) for n in self.names}
+
+    def __len__(self) -> int:
+        return sum(max(1, l - self.n_frames + 1) for l in self.lengths.values())
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rng = random.Random(hash((index, np.random.randint(1 << 30))))
+        clip = rng.choice(self.names)
+        t = self.lengths[clip]
+        start = rng.randint(0, max(0, t - self.n_frames))
+        sel = [min(start + i, t - 1) for i in range(self.n_frames)]
+        hr = read_img_seq([self.index.clips[clip][i] for i in sel])
+        _, h, w, _ = hr.shape
+        s = self.hr_size
+        top = rng.randint(0, max(0, h - s))
+        left = rng.randint(0, max(0, w - s))
+        hr = hr[:, top : top + s, left : left + s]
+        return {"HR": hr, "key": f"{clip}_{start:08d}"}

@@ -1,0 +1,81 @@
+"""Frame IO — reference data/util.py read paths (SURVEY.md §2.4 [H]).
+
+Reference contract: `get_image_paths` enumerates an image folder or an LMDB
+(data_type 'img' | 'lmdb'); `read_img` returns float32 RGB in [0, 1]
+(the reference used cv2 BGR — we standardize on RGB in memory and convert
+at the metric/PNG boundary, see eval/convert_img.py). The LMDB path is
+served by the native C++ reader (native/lmdbr) since the `lmdb` python
+package is not available in this environment.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+__all__ = [
+    "read_img",
+    "read_img_seq",
+    "get_image_paths",
+    "glob_clip_folders",
+]
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif")
+
+
+def read_img(path: str) -> np.ndarray:
+    """Read one image -> float32 RGB HWC in [0, 1] (reference read_img [H],
+    but RGB not BGR — see module docstring)."""
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    if img.shape[2] == 4:
+        img = img[:, :, :3]
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return img.astype(np.float32) / 255.0
+
+
+def read_img_seq(paths: List[str]) -> np.ndarray:
+    """Stack a clip's frames -> (T, H, W, 3) float32 RGB."""
+    return np.stack([read_img(p) for p in paths], axis=0)
+
+
+def get_image_paths(data_type: str, dataroot: str) -> List[str]:
+    """Sorted frame paths under a folder tree ('img') or LMDB keys ('lmdb')."""
+    if data_type == "img":
+        paths = []
+        for root, _dirs, files in os.walk(dataroot):
+            for f in files:
+                if f.lower().endswith(_IMG_EXTS):
+                    paths.append(osp.join(root, f))
+        return sorted(paths)
+    if data_type == "lmdb":
+        from dynavsr_tpu.data.lmdb_native import LmdbReader
+
+        with LmdbReader(dataroot) as r:
+            return sorted(k.decode() for k in r.keys() if not k.endswith(b".meta"))
+    raise ValueError(f"unknown data_type {data_type!r}")
+
+
+def glob_clip_folders(dataroot: str) -> Dict[str, List[str]]:
+    """Map clip name -> sorted frame paths; a clip is an immediate
+    subdirectory of dataroot containing images (Vid4/REDS4 disk layout)."""
+    clips: Dict[str, List[str]] = {}
+    for d in sorted(os.listdir(dataroot)):
+        full = osp.join(dataroot, d)
+        if not osp.isdir(full):
+            continue
+        frames = sorted(
+            osp.join(full, f)
+            for f in os.listdir(full)
+            if f.lower().endswith(_IMG_EXTS)
+        )
+        if frames:
+            clips[d] = frames
+    return clips

@@ -1,0 +1,228 @@
+"""Model orchestration — reference models/Video_base_model.py + base_model.py
+(SURVEY.md §2.3 [H]) re-expressed over the functional TPU core.
+
+`VideoBaseModel` keeps the reference's method surface so the entry scripts
+port 1:1: feed_data / optimize_parameters(step) / test / get_current_log /
+get_current_visuals / save(iter) / load / save_training_state /
+resume_training / update_learning_rate (no-op: the cosine-restart schedule
+runs INSIDE the jitted step via optax — SURVEY.md §2.3 schedulers row).
+
+The torch version wrapped the net in DistributedDataParallel; here the
+train step is jit-compiled over the ('data',) mesh with the batch sharded
+and params replicated — the gradient all-reduce is emitted by XLA.
+
+`MetaModel` runs the DynaVSR meta-step (train/meta.py) with the same
+surface; `DownscalerModel` trains MFDN/SFDN against device-side random
+degradations (models/ downscaler trainer row [H], SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynavsr_tpu.models.networks import define_G
+from dynavsr_tpu.parallel.mesh import data_mesh, replicate, shard_batch
+from dynavsr_tpu.train.checkpoint import (
+    load_network,
+    resume_training,
+    save_network,
+    save_training_state,
+)
+from dynavsr_tpu.train.trainer import (
+    TrainerConfig,
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_schedule,
+    make_train_step,
+)
+
+__all__ = ["VideoBaseModel", "MetaModel", "DownscalerModel", "create_model"]
+
+
+def trainer_config_from_opt(opt: Mapping) -> TrainerConfig:
+    t = opt.get("train") or {}
+    return TrainerConfig(
+        lr=t.get("lr_G") or 4e-4,
+        beta1=t.get("beta1") or 0.9,
+        beta2=t.get("beta2") or 0.99,
+        scheme=t.get("lr_scheme") or "CosineAnnealingLR_Restart",
+        periods=tuple(t.get("T_period") or (150000,) * 4),
+        restart_weights=tuple(t.get("restart_weights") or (1, 0.5, 0.5, 0.5)),
+        eta_min=t.get("eta_min") or 1e-7,
+        milestones=tuple(t.get("lr_steps") or ()),
+        gamma=t.get("lr_gamma") or 0.5,
+        warmup_iter=t.get("warmup_iter") if t.get("warmup_iter") is not None else -1,
+        pixel_weight=t.get("pixel_weight") or 1.0,
+    )
+
+
+class VideoBaseModel:
+    """Supervised VSR trainer/evaluator with the reference's surface."""
+
+    def __init__(self, opt: Mapping, mesh=None, example_batch: Optional[Dict] = None):
+        self.opt = opt
+        self.is_train = bool(opt.get("is_train"))
+        self.netG = define_G(opt)
+        if mesh is None:
+            # opt['n_devices'] caps the data mesh (global batch must divide
+            # the mesh size — reference analog: len(gpu_ids)).
+            devs = jax.devices()
+            nd = opt.get("n_devices")
+            mesh = data_mesh(devs[: int(nd)] if nd else devs)
+        self.mesh = mesh
+        self.cfg = trainer_config_from_opt(opt)
+        self.sched = make_schedule(self.cfg)
+        self.log: Dict[str, float] = {}
+        self._batch = None
+        self._fake_H = None
+        self.state: Optional[TrainState] = None
+
+        nf = (opt.get("network_G") or {}).get("nframes")
+        if nf is None:  # e.g. MFDN: frame count comes from the data config
+            ds = opt.get("datasets") or {}
+            train_ds = next((d for d in ds.values() if d.get("phase") == "train"), {})
+            nf = train_ds.get("N_frames") or 5
+        ex = example_batch or {
+            "LQs": np.zeros((1, nf, 32, 32, 3), np.float32),
+            "GT": np.zeros((1, 32 * opt.get("scale", 4), 32 * opt.get("scale", 4), 3), np.float32),
+        }
+        params = jax.jit(self.netG.init)(
+            jax.random.PRNGKey(opt.get("train", {}).get("manual_seed") or 0),
+            jnp.asarray(ex["LQs"]),
+        )
+        pretrain = (opt.get("path") or {}).get("pretrain_model_G")
+        if pretrain:
+            params = self.load_pretrained(pretrain, params)
+        tx = make_optimizer(self.cfg)
+        self.state = TrainState.create(apply_fn=self.netG.apply, params=params, tx=tx)
+        self.state = replicate(self.mesh, self.state)
+        self._train_step = make_train_step(self.netG, self.cfg, mesh=self.mesh, donate=False)
+        self._eval_step = make_eval_step(self.netG, mesh=None)
+
+    # -------------------------------------------------- reference interface
+    def load_pretrained(self, path: str, like):
+        strict = (self.opt.get("path") or {}).get("strict_load", True) is not False
+        if path.endswith((".pth", ".pt")):
+            from dynavsr_tpu.convert.torch_import import (
+                convert_state_dict,
+                load_torch_checkpoint,
+            )
+
+            return convert_state_dict(load_torch_checkpoint(path), like)
+        return load_network(path, like=like, strict=strict)
+
+    def feed_data(self, data: Mapping, need_GT: bool = True) -> None:
+        batch = {"LQs": np.asarray(data["LQs"], np.float32)}
+        if need_GT and "GT" in data:
+            batch["GT"] = np.asarray(data["GT"], np.float32)
+        self._batch = batch
+
+    def optimize_parameters(self, step: int) -> None:
+        batch = shard_batch(self.mesh, self._batch)
+        self.state, metrics = self._train_step(self.state, batch)
+        self.log = {k: float(v) for k, v in metrics.items()}
+
+    def test(self) -> None:
+        self._fake_H = self._eval_step(self.state.params, jnp.asarray(self._batch["LQs"]))
+
+    def get_current_log(self) -> Dict[str, float]:
+        return dict(self.log)
+
+    def get_current_visuals(self, need_GT: bool = True) -> Dict[str, np.ndarray]:
+        out = {
+            "LQ": np.asarray(self._batch["LQs"][0]),
+            "restored": np.asarray(self._fake_H[0]),
+        }
+        if need_GT and "GT" in self._batch:
+            out["GT"] = np.asarray(self._batch["GT"][0])
+        return out
+
+    def get_current_learning_rate(self) -> float:
+        return float(self.sched(int(self.state.step)))
+
+    def update_learning_rate(self, step: int, warmup_iter: int = -1) -> None:
+        pass  # schedule lives inside the jitted optimizer (optax)
+
+    def save(self, it) -> str:
+        return save_network(self.opt["path"]["models"], int(it), self.state.params)
+
+    def save_training_state(self, epoch: int, it: int) -> str:
+        return save_training_state(
+            self.opt["path"]["training_state"], epoch, int(it), self.state.opt_state
+        )
+
+    def resume_training(self, state_path: str) -> int:
+        epoch, it, opt_state = resume_training(state_path, self.state.opt_state)
+        params = load_network(
+            osp.join(self.opt["path"]["models"], f"{it}_G"), like=self.state.params
+        )
+        self.state = self.state.replace(
+            step=jnp.asarray(it), params=params, opt_state=opt_state
+        )
+        self.state = replicate(self.mesh, self.state)
+        return epoch
+
+
+class MetaModel(VideoBaseModel):
+    """DynaVSR meta-trainer (Algorithm 1) with the same surface; the batch
+    must carry SLR/LR/LR_center/HR_center (see train/meta.py)."""
+
+    def __init__(self, opt: Mapping, mesh=None, example_batch=None):
+        from dynavsr_tpu.train.meta import MetaConfig, make_meta_train_step
+
+        t = opt.get("train") or {}
+        super().__init__(opt, mesh=mesh, example_batch=example_batch)
+        self.meta_cfg = MetaConfig(
+            inner_lr=t.get("maml_lr_alpha") or 1e-5,
+            inner_steps=t.get("maml_adapt_iter") or 1,
+            first_order=bool(t.get("first_order", False)),
+            pixel_weight=t.get("pixel_weight") or 1.0,
+        )
+        self._meta_step = make_meta_train_step(
+            self.netG, self.meta_cfg, mesh=self.mesh, donate=False
+        )
+
+    def feed_data(self, data: Mapping, need_GT: bool = True) -> None:
+        self._batch = {
+            k: np.asarray(data[k], np.float32)
+            for k in ("SLR", "LR", "LR_center", "HR_center")
+            if k in data
+        }
+        if "LQs" in data:  # eval path parity
+            self._batch["LQs"] = np.asarray(data["LQs"], np.float32)
+
+    def optimize_parameters(self, step: int) -> None:
+        batch = shard_batch(self.mesh, self._batch)
+        self.state, metrics = self._meta_step(self.state, batch)
+        self.log = {k: float(v) for k, v in metrics.items()}
+
+
+class DownscalerModel(VideoBaseModel):
+    """MFDN/SFDN trainer: batch carries LR stack + SLR target synthesized by
+    the degradation pipeline (SURVEY.md §3.5: LR=(HR*k)ds, SLR=(LR*k)ds)."""
+
+    def feed_data(self, data: Mapping, need_GT: bool = True) -> None:
+        self._batch = {
+            "LQs": np.asarray(data["LR"] if "LR" in data else data["LQs"], np.float32),
+            "GT": np.asarray(data["SLR"] if "SLR" in data else data["GT"], np.float32),
+        }
+
+
+def create_model(opt: Mapping, **kw):
+    """Reference models/__init__.py:create_model dispatch [H]."""
+    which = opt.get("model", "video_base")
+    if which in ("video_base", "VideoSR_base", "sr"):
+        m = VideoBaseModel(opt, **kw)
+    elif which in ("video_meta", "meta", "dynavsr"):
+        m = MetaModel(opt, **kw)
+    elif which in ("downscaler", "estimator"):
+        m = DownscalerModel(opt, **kw)
+    else:
+        raise NotImplementedError(f"Model [{which}] not recognized.")
+    return m

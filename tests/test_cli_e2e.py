@@ -1,0 +1,147 @@
+"""End-to-end CLI smoke tests: train a few iters -> checkpoint -> test.
+
+Mirrors SURVEY.md §4's "CPU-runnable end-to-end oracle": tiny EDVR on a
+synthetic clip tree, driven through the real entry points (config YAML ->
+cli.train -> checkpoint dir -> cli.test -> PSNR numbers).
+"""
+
+import os
+import os.path as osp
+import textwrap
+
+import numpy as np
+import pytest
+
+from tests.test_data import make_clip_tree
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    scale = 4
+    make_clip_tree(str(root / "GT"), ["clipA", "clipB"], frames=12, h=32, w=32, seed=1)
+    make_clip_tree(str(root / "LQ"), ["clipA", "clipB"], frames=12, h=8, w=8, seed=2)
+    return root
+
+
+TRAIN_YML = """
+name: tiny_e2e
+model: video_base
+scale: 4
+datasets:
+  train:
+    name: tiny
+    mode: REDS
+    dataroot_GT: {gt}
+    dataroot_LQ: {lq}
+    N_frames: 3
+    LQ_size: 8
+    batch_size: 8
+    use_shuffle: true
+    n_workers: 1
+  val:
+    name: tinyval
+    mode: video_test
+    dataroot_GT: {gt}
+    dataroot_LQ: {lq}
+    N_frames: 3
+    padding: reflection
+network_G:
+  which_model_G: EDVR
+  nf: 8
+  nframes: 3
+  groups: 2
+  front_RBs: 1
+  back_RBs: 1
+path: {{}}
+train:
+  lr_G: !!float 1e-4
+  lr_scheme: constant
+  niter: 4
+  val_freq: 1000
+  manual_seed: 0
+logger:
+  print_freq: 2
+  save_checkpoint_freq: 1000
+"""
+
+
+def test_train_then_eval_cli(workdir, monkeypatch):
+    from dynavsr_tpu.cli import test as test_cli
+    from dynavsr_tpu.cli import train as train_cli
+
+    yml = workdir / "train.yml"
+    yml.write_text(TRAIN_YML.format(gt=workdir / "GT", lq=workdir / "LQ"))
+    monkeypatch.chdir(workdir)
+
+    steps = train_cli.main(["-opt", str(yml)])
+    assert steps == 4
+    models_dir = workdir / "experiments" / "tiny_e2e" / "models"
+    assert (models_dir / "4_G").exists()
+
+    test_yml = workdir / "test.yml"
+    test_yml.write_text(textwrap.dedent(f"""
+        name: tiny_e2e_test
+        model: video_base
+        scale: 4
+        datasets:
+          test:
+            name: tinyset
+            mode: video_test
+            dataroot_GT: {workdir / 'GT'}
+            dataroot_LQ: {workdir / 'LQ'}
+            N_frames: 3
+            padding: reflection
+        network_G:
+          which_model_G: EDVR
+          nf: 8
+          nframes: 3
+          groups: 2
+          front_RBs: 1
+          back_RBs: 1
+        path:
+          pretrain_model_G: {models_dir / '4_G'}
+        eval:
+          crop_border: 0
+          ycbcr: false
+    """))
+    results = test_cli.main(["-opt", str(test_yml), "--no-save-images"])
+    res = results["test"]
+    assert "_avg" in res and np.isfinite(res["_avg"]["psnr_avg"])
+    assert set(res) >= {"clipA", "clipB"}
+    assert len(res["clipA"]["psnr"]) == 12
+
+
+def test_downscaler_train_cli(workdir, monkeypatch):
+    from dynavsr_tpu.cli import train as train_cli
+
+    yml = workdir / "mfdn.yml"
+    yml.write_text(textwrap.dedent(f"""
+        name: tiny_mfdn
+        model: downscaler
+        scale: 4
+        datasets:
+          train:
+            name: meta
+            mode: meta
+            dataroot_GT: {workdir / 'GT'}
+            N_frames: 3
+            GT_size: 32
+            batch_size: 8
+            n_workers: 1
+        network_G:
+          which_model_G: MFDN
+          nf: 8
+        path: {{}}
+        train:
+          lr_G: !!float 1e-4
+          lr_scheme: constant
+          niter: 2
+          manual_seed: 0
+        logger:
+          print_freq: 1
+          save_checkpoint_freq: 1000
+    """))
+    monkeypatch.chdir(workdir)
+    steps = train_cli.main(["-opt", str(yml)])
+    assert steps == 2
