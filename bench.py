@@ -66,24 +66,32 @@ def main() -> None:
                       infer_chunk=4 if not args.quick else 0)
     run = make_adapt_and_infer(model, cfg)
 
-    def block(tree):
-        # NB: block_until_ready on a pytree silently does not block under the
-        # axon TPU tunnel; block each leaf array explicitly.
+    import numpy as np
+
+    def force(tree):
+        # NB: under the axon TPU tunnel neither jax.block_until_ready nor
+        # per-leaf .block_until_ready() reliably blocks; only a device->host
+        # fetch forces execution. Fetch a tiny slice of every leaf.
         for leaf in jax.tree_util.tree_leaves(tree):
-            leaf.block_until_ready()
+            np.asarray(jnp.ravel(leaf)[:8])
+
+    # Pre-generate distinct inputs: the tunnel memoizes identical
+    # (executable, inputs) calls, which would fake a ~0s run.
+    inputs = [
+        jax.random.uniform(jax.random.PRNGKey(100 + i),
+                           (n_windows, nframes, h, w, 3), jnp.float32)
+        for i in range(args.repeats)
+    ]
 
     # Warmup / compile.
     sr, losses = run(params, slr_windows, lr_centers, lr_windows)
-    block((sr, losses))
+    force((sr, losses))
 
     times = []
-    for i in range(args.repeats):
-        # Vary the input each repeat: the tunnel memoizes identical
-        # (executable, inputs) calls, which would fake a ~0s run.
-        lw = lr_windows + (i + 1) * 1e-6
+    for lw in inputs:
         t0 = time.perf_counter()
         sr, losses = run(params, slr_windows, lr_centers, lw)
-        block((sr, losses))
+        force((sr, losses))
         times.append(time.perf_counter() - t0)
 
     best = min(times)

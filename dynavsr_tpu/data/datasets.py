@@ -72,13 +72,29 @@ def paired_random_crop(
 
 
 class _ClipIndex:
-    """Shared clip discovery for folder-backed datasets."""
+    """Shared clip discovery + frame reading. Folder trees by default; LMDB
+    roots (*.lmdb, served by the native C++ reader) transparently."""
 
     def __init__(self, root: str):
-        self.clips = glob_clip_folders(root)
+        if str(root).endswith(".lmdb"):
+            from dynavsr_tpu.data.lmdb_dataset import LmdbClipIndex
+
+            self._lmdb = LmdbClipIndex(root)
+            self.clips = self._lmdb.clips
+        else:
+            self._lmdb = None
+            self.clips = glob_clip_folders(root)
         if not self.clips:
             raise FileNotFoundError(f"no clip folders under {root}")
         self.names = list(self.clips)
+
+    def read(self, clip: str, i: int) -> np.ndarray:
+        if self._lmdb is not None:
+            return self._lmdb.read_frame(self.clips[clip][i])
+        return read_img(self.clips[clip][i])
+
+    def read_seq(self, clip: str, idxs) -> np.ndarray:
+        return np.stack([self.read(clip, int(i)) for i in idxs], axis=0)
 
 
 class REDSDataset:
@@ -125,8 +141,8 @@ class REDSDataset:
         idxs = list(range(center - half * interval, center + half * interval + 1, interval))
         if self.random_reverse and rng.random() < 0.5:
             idxs.reverse()
-        lqs = read_img_seq([self.lq_index.clips[clip][i] for i in idxs])
-        gt = read_img(self.gt_index.clips[clip][idxs[len(idxs) // 2]])
+        lqs = self.lq_index.read_seq(clip, idxs)
+        gt = self.gt_index.read(clip, idxs[len(idxs) // 2])
         lqs, gt = paired_random_crop(lqs, gt, self.lq_size, self.scale, rng)
         hflip = self.use_flip and rng.random() < 0.5
         vflip = self.use_rot and rng.random() < 0.5
@@ -175,7 +191,7 @@ class VideoTestDataset:
         index = self.gt_index if gt else self.lq_index
         key = ("gt:" if gt else "lq:") + clip
         if key not in self._cache:
-            arr = read_img_seq(index.clips[clip])
+            arr = index.read_seq(clip, range(len(index.clips[clip])))
             if self.cache_data:
                 self._cache[key] = arr
             return arr
@@ -223,7 +239,7 @@ class MetaVideoDataset:
         t = self.lengths[clip]
         start = rng.randint(0, max(0, t - self.n_frames))
         sel = [min(start + i, t - 1) for i in range(self.n_frames)]
-        hr = read_img_seq([self.index.clips[clip][i] for i in sel])
+        hr = self.index.read_seq(clip, sel)
         _, h, w, _ = hr.shape
         s = self.hr_size
         top = rng.randint(0, max(0, h - s))
