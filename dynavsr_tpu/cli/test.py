@@ -39,7 +39,7 @@ def main(argv=None):
                     len(test_set.names))
         ev = opt.get("eval") or {}
         results = evaluate_dataset(
-            lambda w: model._eval_step(model.state.params, jnp.asarray(w)),
+            model.make_infer_fn(),
             test_set,
             n_frames=dataset_opt.get("N_frames") or 5,
             padding=dataset_opt.get("padding") or "reflection",

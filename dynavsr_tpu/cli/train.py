@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import logging
 import math
+import os.path as osp
 import time
 
 import numpy as np
@@ -74,6 +75,14 @@ def main(argv=None):
 
     seed = opt["train"].get("manual_seed") or 0
     set_random_seed(seed)
+
+    tb = None
+    if rank0 and (opt.get("logger") or {}).get("tb_logger", True) is not False:
+        from dynavsr_tpu.utils.observability import MetricsWriter
+
+        tb = MetricsWriter(
+            osp.join(opt["path"]["root"], "tb_logger", opt.get("name") or "run")
+        )
 
     # ---- data
     train_loader = val_set = None
@@ -136,6 +145,11 @@ def main(argv=None):
                 logger.info("<epoch:%3d, iter:%8d, lr:%.3e, time:%.3fs> %s",
                             epoch, current_step, model.get_current_learning_rate(),
                             dt, msg)
+                if tb is not None:
+                    tb.add_scalars(current_step, {
+                        **logs, "lr": model.get_current_learning_rate(),
+                        "step_time_s": dt,
+                    })
 
             if rank0 and val_set is not None and current_step % val_freq == 0:
                 _validate(model, val_set, opt, current_step, logger)
@@ -150,6 +164,8 @@ def main(argv=None):
         model.save(current_step)
         model.save_training_state(total_epochs, current_step)
         logger.info("End of training.")
+    if tb is not None:
+        tb.close()
     return current_step
 
 
@@ -158,7 +174,7 @@ def _validate(model, val_set, opt, step, logger):
 
     n_frames = (opt["network_G"] or {}).get("nframes", 5)
     results = evaluate_dataset(
-        lambda w: model._eval_step(model.state.params, jnp.asarray(w)),
+        model.make_infer_fn(),
         val_set,
         n_frames=n_frames,
         padding=(opt["datasets"].get("val") or {}).get("padding") or "reflection",

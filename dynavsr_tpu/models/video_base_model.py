@@ -131,6 +131,25 @@ class VideoBaseModel:
     def test(self) -> None:
         self._fake_H = self._eval_step(self.state.params, jnp.asarray(self._batch["LQs"]))
 
+    def make_infer_fn(self):
+        """Windows -> SR frames, with per-arch input conventions:
+        TOF consumes bicubically pre-upscaled frames (TOF_arch [H]); EDVR/
+        DUF/others consume LR directly."""
+        which = (self.opt.get("network_G") or {}).get("which_model_G")
+        scale = self.opt.get("scale", 4)
+        if which == "TOF":
+            from dynavsr_tpu.data.resize import imresize_batched
+
+            def infer(w):
+                w = jnp.asarray(w)
+                b, n, h, ww, c = w.shape
+                up = imresize_batched(w.reshape(b * n, h, ww, c), float(scale))
+                up = up.reshape(b, n, h * scale, ww * scale, c)
+                return self._eval_step(self.state.params, up)
+
+            return infer
+        return lambda w: self._eval_step(self.state.params, jnp.asarray(w))
+
     def get_current_log(self) -> Dict[str, float]:
         return dict(self.log)
 

@@ -145,3 +145,27 @@ def test_downscaler_train_cli(workdir, monkeypatch):
     monkeypatch.chdir(workdir)
     steps = train_cli.main(["-opt", str(yml)])
     assert steps == 2
+
+
+def test_tof_infer_wrapper_preupscales(workdir):
+    """TOF's infer fn bicubically pre-upscales windows (TOF_arch contract)."""
+    import numpy as np
+    from dynavsr_tpu.models.video_base_model import VideoBaseModel
+
+    opt = {
+        "is_train": False,
+        "scale": 4,
+        "n_devices": 1,
+        "model": "video_base",
+        "network_G": {"which_model_G": "TOF", "nframes": 7},
+        "path": {},
+        "datasets": {},
+    }
+    m = VideoBaseModel(opt, example_batch={
+        "LQs": np.zeros((1, 7, 32, 32, 3), np.float32),
+        "GT": np.zeros((1, 128, 128, 3), np.float32),
+    })
+    infer = m.make_infer_fn()
+    out = np.asarray(infer(np.random.rand(2, 7, 8, 8, 3).astype(np.float32)))
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(out).all()
