@@ -104,11 +104,24 @@ def deform_conv2d_fused(
         else:
             xf, of = xs
             mf = None
-        # Packed, padded source: (hp*wp*gd, 2*cg); row p = [x(y,x), x(y+1,x)].
+        # Packed, padded source. Gather rate is row-count bound, so pack as
+        # many corners per row as the lane budget allows:
+        #   gd == 1: rows of 2C = [x(y,x), x(y+1,x)]; 4C rows measured SLOWER
+        #            (512B splits across vregs), so x-corners use a 2nd take.
+        #   gd  > 1: rows are narrow (cg lanes) — pack ALL 4 corners
+        #            [x(y,x), x(y,x+1), x(y+1,x), x(y+1,x+1)] in one take.
         xpad = jnp.pad(
             xf.reshape(h, w, gd, cg), ((2, 2), (2, 2), (0, 0), (0, 0))
         ).reshape(hp * wp * gd, cg)
-        src = jnp.concatenate([xpad, jnp.roll(xpad, -row_stride, axis=0)], axis=-1)
+        if gd == 1:
+            src = jnp.concatenate(
+                [xpad, jnp.roll(xpad, -row_stride, axis=0)], axis=-1)
+        else:
+            src = jnp.concatenate(
+                [xpad,
+                 jnp.roll(xpad, -gd, axis=0),
+                 jnp.roll(xpad, -row_stride, axis=0),
+                 jnp.roll(xpad, -(row_stride + gd), axis=0)], axis=-1)
 
         # positions: (HW, Gd, K); +1 shift into the padded frame.
         ys = base_y[:, None, None] + ty[None, None, :] + of[..., 0]
@@ -128,11 +141,18 @@ def deform_conv2d_fused(
         p = ((y0i + 2) * wp + (x0i + 2)) * gd + g_iota  # (HW, Gd, K)
         p = p.reshape(-1)
 
-        v_l = jnp.take(src, p, axis=0, mode="clip").reshape(hw, gd, k, 2 * cg)
-        v_r = jnp.take(src, p + gd, axis=0, mode="clip").reshape(hw, gd, k, 2 * cg)
-        left = wy0 * v_l[..., :cg] + wy1 * v_l[..., cg:]
-        right = wy0 * v_r[..., :cg] + wy1 * v_r[..., cg:]
-        cols = wx0 * left + wx1 * right  # (HW, Gd, K, cg)
+        if gd == 1:
+            v_l = jnp.take(src, p, axis=0, mode="clip").reshape(hw, gd, k, 2 * cg)
+            v_r = jnp.take(src, p + gd, axis=0, mode="clip").reshape(hw, gd, k, 2 * cg)
+            left = wy0 * v_l[..., :cg] + wy1 * v_l[..., cg:]
+            right = wy0 * v_r[..., :cg] + wy1 * v_r[..., cg:]
+            cols = wx0 * left + wx1 * right  # (HW, Gd, K, cg)
+        else:
+            v = jnp.take(src, p, axis=0, mode="clip").reshape(hw, gd, k, 4 * cg)
+            cols = (
+                wy0 * (wx0 * v[..., :cg] + wx1 * v[..., cg : 2 * cg])
+                + wy1 * (wx0 * v[..., 2 * cg : 3 * cg] + wx1 * v[..., 3 * cg :])
+            )
         if mf is not None:
             cols = cols * mf[..., None].astype(compute_dtype)
         # -> (HW, K, Gd*cg=Cin): im2col channel order within a tap is the

@@ -121,3 +121,24 @@ def test_tsa_fusion_standalone():
     v = m.init(jax.random.PRNGKey(0), fea)
     out = m.apply(v, fea)
     assert out.shape == (2, 8, 8, 8)
+
+
+def test_edvr_predeblur_variant():
+    """predeblur=True: HR-sized pyramid deblur module before alignment."""
+    model = EDVR(nf=8, nframes=3, groups=2, front_RBs=1, back_RBs=1,
+                 predeblur=True)
+    x = jnp.zeros((1, 3, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 64, 64, 3)
+    assert "pre_deblur" in params["params"]
+
+
+def test_edvr_hr_in_variant():
+    """HR_in=True: input already at HR; strided conv_first downscales x4."""
+    model = EDVR(nf=8, nframes=3, groups=2, front_RBs=1, back_RBs=1,
+                 hr_in=True)
+    x = jnp.zeros((1, 3, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 32, 32, 3)  # same-size restoration
