@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["AdaptConfig", "make_adapt_and_infer", "make_adapt_step"]
+__all__ = [
+    "AdaptConfig",
+    "make_adapt_and_infer",
+    "make_adapt_and_infer_batched",
+    "make_adapt_step",
+    "batch_clips",
+]
 
 
 @dataclasses.dataclass
@@ -99,3 +105,57 @@ def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True):
         return sr, losses
 
     return jax.jit(run) if jit else run
+
+
+def make_adapt_and_infer_batched(vsr_model, cfg: AdaptConfig, mesh=None):
+    """Clip-parallel adaptation (SURVEY.md §2.6): vmap the whole per-clip
+    adapt+infer over a leading clips axis and shard clips over the
+    ('data',) mesh — each chip adapts ITS OWN clips concurrently, replacing
+    the reference's serial one-clip-per-GPU Python loop.
+
+    Inputs (clips padded to common sizes; pad frames cost compute only):
+      params (replicated), slr_windows (C, K, N, h/s, w/s, 3),
+      lr_centers (C, K, h, w, 3), lr_windows (C, F, N, h, w, 3)
+    Returns sr (C, F, H, W, 3), losses (C, n_steps).
+    """
+    single = make_adapt_and_infer(vsr_model, cfg, jit=False)
+    fn = jax.vmap(single, in_axes=(None, 0, 0, 0))
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        fn,
+        in_shardings=(repl, data, data, data),
+        out_shardings=(data, data),
+    )
+
+
+def batch_clips(clip_windows, n_adapt: int, center: int):
+    """Pad per-clip window stacks to a common frame count for the batched
+    adapt path. clip_windows: list of (F_i, N, h, w, 3) arrays.
+
+    Returns (lr_windows (C, Fmax, ...), slr_sources (C, K, ...) adaptation
+    windows, lr_centers (C, K, h, w, 3), lengths) — padding repeats the
+    last window; callers slice sr[i, :lengths[i]].
+    """
+    import numpy as np
+
+    fmax = max(w.shape[0] for w in clip_windows)
+    lw, aw, lc, lens = [], [], [], []
+    for w in clip_windows:
+        f = w.shape[0]
+        pad = np.concatenate([w, np.repeat(w[-1:], fmax - f, axis=0)], axis=0) \
+            if f < fmax else w
+        lw.append(pad)
+        k = min(n_adapt, f)
+        idx = np.linspace(0, f - 1, k).round().astype(int) if k < n_adapt else \
+            np.arange(n_adapt)
+        if len(idx) < n_adapt:  # short clip: repeat windows
+            idx = np.resize(idx, n_adapt)
+        aw.append(w[idx])
+        lc.append(w[idx][:, center])
+        lens.append(f)
+    return (np.stack(lw), np.stack(aw), np.stack(lc), lens)

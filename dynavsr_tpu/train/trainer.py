@@ -18,7 +18,7 @@ import optax
 from flax.training import train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dynavsr_tpu.train.losses import charbonnier_loss
+from dynavsr_tpu.train.losses import charbonnier_loss, make_pixel_criterion
 from dynavsr_tpu.train.schedules import cosine_annealing_restart, multistep_restart, with_warmup
 
 __all__ = ["TrainState", "make_optimizer", "make_train_step", "make_eval_step", "TrainerConfig"]
@@ -42,6 +42,7 @@ class TrainerConfig:
     gamma: float = 0.5
     warmup_iter: int = -1
     pixel_weight: float = 1.0
+    criterion: str = "cb"  # 'cb' | 'l1' | 'l2' (reference pixel_criterion)
     reduction: str = "mean"
     grad_clip: Optional[float] = None
 
@@ -83,9 +84,11 @@ def make_train_step(
     compiled with batch sharded over ('data',) and state replicated.
     """
 
+    cri_pix = make_pixel_criterion(cfg.criterion, cfg.reduction)
+
     def loss_fn(params, batch):
         pred = model.apply(params, batch["LQs"])
-        l_pix = cfg.pixel_weight * charbonnier_loss(pred, batch["GT"], reduction=cfg.reduction)
+        l_pix = cfg.pixel_weight * cri_pix(pred, batch["GT"])
         return l_pix, pred
 
     def step(state: TrainState, batch: Mapping[str, jax.Array]):

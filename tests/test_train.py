@@ -161,3 +161,47 @@ def test_adapt_and_infer_chunked_matches():
     sr_f, _ = full(params, slr_w, lr_c, lr_windows)
     sr_c, _ = chunked(params, slr_w, lr_c, lr_windows)
     np.testing.assert_allclose(np.asarray(sr_f), np.asarray(sr_c), atol=1e-5)
+
+
+# --------------------------------------------------- clip-parallel adaptation
+def test_adapt_batched_clip_parallel_8dev():
+    """Sharded vmap adapt+infer over 8 clips on the 8-device mesh matches
+    the per-clip path (SURVEY.md §2.6 adaptation-parallelism row)."""
+    from dynavsr_tpu.adapt.adaptation import (
+        AdaptConfig, batch_clips, make_adapt_and_infer,
+        make_adapt_and_infer_batched,
+    )
+
+    assert jax.device_count() >= 8
+    mesh = data_mesh(jax.devices()[:8])
+    model = tiny_model()
+    n, h, w, s = 3, 16, 16, 4
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, n, h, w, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+
+    rng = np.random.default_rng(0)
+    clips = [rng.random((f, n, h, w, 3)).astype(np.float32) for f in
+             [4, 3, 5, 2, 4, 5, 3, 4]]
+    lr_windows, adapt_w, lr_centers, lens = batch_clips(clips, n_adapt=2, center=n // 2)
+    slr = lr_windows[:, :2, :, ::s, ::s, :]  # stand-in for MFDN output
+
+    cfg = AdaptConfig(n_steps=2, lr=1e-4)
+    batched = make_adapt_and_infer_batched(model, cfg, mesh=mesh)
+    sr, losses = batched(params, jnp.asarray(slr), jnp.asarray(lr_centers),
+                         jnp.asarray(lr_windows))
+    assert sr.shape == (8, 5, h * 4, w * 4, 3)
+    assert losses.shape == (8, 2)
+
+    # parity with the unbatched path on clip 0
+    single = make_adapt_and_infer(model, cfg)
+    sr0, l0 = single(params, jnp.asarray(slr[0]), jnp.asarray(lr_centers[0]),
+                     jnp.asarray(lr_windows[0]))
+    # vmap/sharding changes fp32 reduction order; k adaptation steps
+    # amplify it — tolerance reflects that, not a logic difference.
+    np.testing.assert_allclose(np.asarray(sr[0]), np.asarray(sr0),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(losses[0]), np.asarray(l0),
+                               rtol=1e-3, atol=1e-4)
+    # padded frames beyond each clip's length are ignored by slicing
+    for i, f in enumerate(lens):
+        assert np.isfinite(np.asarray(sr[i, :f])).all()
