@@ -95,6 +95,15 @@ def deform_conv2d_fused(
 
     compute_dtype = x.dtype
     w_mat = weight.reshape(k * cin_g, cout).astype(compute_dtype)
+    w4_mat = None
+    if gd > 1 and groups == 1:
+        # 4x corner-expanded weight: rows ordered (gd, k, corner, cg) to
+        # match the gathered-value flatten order; the MXU contraction
+        # performs the corner reduction.
+        wk = weight.reshape(k, gd, cg, cout).transpose(1, 0, 2, 3)  # (gd,k,cg,o)
+        w4_mat = jnp.broadcast_to(
+            wk[:, :, None, :, :], (gd, k, 4, cg, cout)
+        ).reshape(gd * k * 4 * cg, cout).astype(compute_dtype)
 
     row_stride = wp * gd  # rows between (y, x) and (y+1, x) in packed layout
 
@@ -140,6 +149,27 @@ def deform_conv2d_fused(
         g_iota = jnp.arange(gd, dtype=jnp.int32)[None, :, None]
         p = ((y0i + 2) * wp + (x0i + 2)) * gd + g_iota  # (HW, Gd, K)
         p = p.reshape(-1)
+
+        if gd > 1 and groups == 1:
+            # Folded path: do NOT reduce the 4 corners on the VPU — arrays
+            # shaped (..., cg=8) use 8 of 128 lanes and the combine costs
+            # more than the gather. Instead multiply by a full-lane
+            # (HW, Gd*K*4*cg) weight field (corner weights x mask) and let
+            # the MXU reduce corners via a 4x-expanded weight matrix.
+            v = jnp.take(src, p, axis=0, mode="clip").reshape(hw, gd * k * 4 * cg)
+            wcorn = jnp.stack(
+                [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1
+            )  # (HW, Gd, K, 4) in compute dtype (wy*/wx* carry [..., None])
+            wcorn = wcorn[..., 0, :] if wcorn.ndim == 5 else wcorn
+            if mf is not None:
+                wcorn = wcorn * mf[..., None].astype(compute_dtype)
+            wfield = jnp.broadcast_to(
+                wcorn[..., None], (hw, gd, k, 4, cg)
+            ).reshape(hw, gd * k * 4 * cg)
+            contrib = jax.lax.dot(
+                v * wfield, w4_mat, preferred_element_type=jnp.float32
+            )
+            return carry, contrib
 
         if gd == 1:
             v_l = jnp.take(src, p, axis=0, mode="clip").reshape(hw, gd, k, 2 * cg)
