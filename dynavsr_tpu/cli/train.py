@@ -104,6 +104,10 @@ def main(argv=None):
     if opt["path"].get("resume_state"):
         start_epoch = model.resume_training(opt["path"]["resume_state"])
         current_step = int(model.state.step)
+        # Deterministic skip-ahead: replay the epoch's index stream up to
+        # the resumed step so no batch is repeated or skipped.
+        train_loader.set_epoch(start_epoch)
+        train_loader.set_skip_batches(current_step % max(1, len(train_loader)))
         logger.info("Resumed from iter %d (epoch %d)", current_step, start_epoch)
 
     which = opt.get("model", "video_base")

@@ -77,10 +77,18 @@ class PrefetchLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.epoch = 0
+        self._skip_batches = 0
 
     def set_epoch(self, epoch: int) -> None:
         """Reference DistIterSampler.set_epoch [H]: reseeds the shuffle."""
         self.epoch = epoch
+
+    def set_skip_batches(self, n: int) -> None:
+        """Deterministic resume skip-ahead (SURVEY.md §5 failure-recovery
+        note): the next __iter__ starts at batch n of the epoch so a
+        resumed run sees exactly the batches it would have (indices are a
+        pure function of (seed, epoch)); skipping happens before decode."""
+        self._skip_batches = n
 
     def _index_stream(self) -> np.ndarray:
         n = len(self.dataset)
@@ -95,12 +103,14 @@ class PrefetchLoader:
         nb = len(idx) // self.batch_size
         if not self.drop_last and len(idx) % self.batch_size:
             nb += 1
+        first = min(self._skip_batches, nb)
+        self._skip_batches = 0
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
             try:
-                for b in range(nb):
+                for b in range(first, nb):
                     if stop.is_set():
                         return
                     batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]

@@ -136,3 +136,21 @@ def test_loader_error_propagation(video_tree):
     loader = PrefetchLoader(Bad(), 2)
     with pytest.raises(RuntimeError, match="decode failed"):
         list(iter(loader))
+
+
+def test_loader_skip_batches_resume(video_tree):
+    opt = {
+        "dataroot_GT": video_tree["gt"], "dataroot_LQ": video_tree["lq"],
+        "N_frames": 3, "LQ_size": 8, "scale": 4, "phase": "train",
+    }
+    from dynavsr_tpu.data.datasets import REDSDataset
+
+    ds = REDSDataset(opt)
+    full = PrefetchLoader(ds, 2, seed=3)
+    keys_full = [b["key"] for b in full]
+    resumed = PrefetchLoader(ds, 2, seed=3)
+    resumed.set_skip_batches(2)
+    keys_resumed = [b["key"] for b in resumed]
+    assert len(keys_resumed) == len(keys_full) - 2
+    # skip is one-shot: next epoch is complete again
+    assert len([b for b in resumed]) == len(keys_full)
