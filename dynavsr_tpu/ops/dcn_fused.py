@@ -95,7 +95,7 @@ def deform_conv2d_fused(
 
     compute_dtype = x.dtype
     w_mat = weight.reshape(k * cin_g, cout).astype(compute_dtype)
-    w4_mat = None
+    w4_mat = w2_mat = None
     if gd > 1 and groups == 1:
         # 4x corner-expanded weight: rows ordered (gd, k, corner, cg) to
         # match the gathered-value flatten order; the MXU contraction
@@ -104,6 +104,14 @@ def deform_conv2d_fused(
         w4_mat = jnp.broadcast_to(
             wk[:, :, None, :, :], (gd, k, 4, cg, cout)
         ).reshape(gd * k * 4 * cg, cout).astype(compute_dtype)
+    elif gd == 1 and groups == 1:
+        # y-pair-expanded weight (k, ycorner, C, o): each gathered row holds
+        # [x(y0,.), x(y1,.)]; two partial matmuls (left/right x-corner)
+        # reduce the corners on the MXU instead of the 8-lane VPU path.
+        wk = weight.reshape(k, cin, cout)
+        w2_mat = jnp.broadcast_to(
+            wk[:, None, :, :], (k, 2, cin, cout)
+        ).reshape(k * 2 * cin, cout).astype(compute_dtype)
 
     row_stride = wp * gd  # rows between (y, x) and (y+1, x) in packed layout
 
@@ -168,6 +176,25 @@ def deform_conv2d_fused(
             ).reshape(hw, gd * k * 4 * cg)
             contrib = jax.lax.dot(
                 v * wfield, w4_mat, preferred_element_type=jnp.float32
+            )
+            return carry, contrib
+
+        if gd == 1 and groups == 1:
+            # Folded path (see w2_mat): weight fields over (HW, K*2C) at
+            # full lane utilization, corner reduction on the MXU.
+            v_l = jnp.take(src, p, axis=0, mode="clip").reshape(hw, k * 2 * cin)
+            v_r = jnp.take(src, p + gd, axis=0, mode="clip").reshape(hw, k * 2 * cin)
+            wy = jnp.concatenate([wy0, wy1], axis=-1)[:, 0]  # (HW, K, 2)
+            if mf is not None:
+                wy = wy * mf[:, 0, :, None].astype(compute_dtype)
+            wxl = (wy * wx0[:, 0]).reshape(hw, k, 2, 1)
+            wxr = (wy * wx1[:, 0]).reshape(hw, k, 2, 1)
+            fl = jnp.broadcast_to(wxl, (hw, k, 2, cin)).reshape(hw, k * 2 * cin)
+            fr = jnp.broadcast_to(wxr, (hw, k, 2, cin)).reshape(hw, k * 2 * cin)
+            contrib = jax.lax.dot(
+                v_l * fl, w2_mat, preferred_element_type=jnp.float32
+            ) + jax.lax.dot(
+                v_r * fr, w2_mat, preferred_element_type=jnp.float32
             )
             return carry, contrib
 

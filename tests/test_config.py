@@ -58,3 +58,22 @@ def test_dict2str_and_check_resume(tmp_path):
     assert "name: x" in s
     check_resume(opt, 5000)
     assert opt["path"]["pretrain_model_G"].endswith("5000_G.ckpt")
+
+
+def test_metrics_writer(tmp_path):
+    import json
+
+    from dynavsr_tpu.utils.observability import MetricsWriter, StepTimer
+
+    w = MetricsWriter(str(tmp_path), use_tensorboard=False)
+    w.add_scalars(1, {"loss": 0.5})
+    w.add_scalars(2, {"loss": 0.25, "lr": 1e-4})
+    w.close()
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["step"] == 1 and lines[0]["loss"] == 0.5
+    assert lines[1]["lr"] == 1e-4
+
+    t = StepTimer()
+    t.tick()
+    dt = t.tock()
+    assert dt >= 0 and t.throughput(10) > 0
