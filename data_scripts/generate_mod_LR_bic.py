@@ -30,9 +30,16 @@ def main(argv=None):
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--scale", type=int, default=4)
+    ap.add_argument("--mode", choices=["bicubic", "duf"], default="bicubic",
+                    help="'duf': 13-tap Gaussian blur + stride subsample "
+                         "(data/util.py:duf_downsample parity) for DUF eval")
     args = ap.parse_args(argv)
 
     s = args.scale
+    if args.mode == "duf":
+        import jax.numpy as jnp
+
+        from dynavsr_tpu.data.degradations import duf_downsample
     clips = glob_clip_folders(args.input)
     total = sum(len(v) for v in clips.values())
     bar = ProgressBar(total)
@@ -45,7 +52,10 @@ def main(argv=None):
             img = cv2.imread(path, cv2.IMREAD_UNCHANGED).astype(np.float32) / 255.0
             h, w = img.shape[:2]
             img = img[: h - h % s, : w - w % s]  # mod-crop
-            lr = imresize_np(img, 1.0 / s)
+            if args.mode == "duf":
+                lr = np.asarray(duf_downsample(jnp.asarray(img)[None], s)[0])
+            else:
+                lr = imresize_np(img, 1.0 / s)
             name = osp.basename(path)
             cv2.imwrite(osp.join(gt_dir, name),
                         (np.clip(img, 0, 1) * 255.0).round().astype(np.uint8))

@@ -31,6 +31,7 @@ __all__ = [
     "REDSDataset",
     "Vimeo90KDataset",
     "VideoTestDataset",
+    "Vimeo90KTestDataset",
     "MetaVideoDataset",
     "augment",
     "paired_random_crop",
@@ -246,3 +247,31 @@ class MetaVideoDataset:
         left = rng.randint(0, max(0, w - s))
         hr = hr[:, top : top + s, left : left + s]
         return {"HR": hr, "key": f"{clip}_{start:08d}"}
+
+
+class Vimeo90KTestDataset(VideoTestDataset):
+    """Vimeo90K-T protocol (reference video_test_dataset 'Vimeo90K' branch
+    [H]): each septuplet directory is one item; ONLY the center frame is
+    super-resolved and scored (unlike Vid4/REDS4 where every frame is)."""
+
+    center_only = True
+
+    def __init__(self, opt: Mapping):
+        super().__init__(opt)
+        self.items = []
+        for clip in self.names:
+            t = len(self.lq_index.clips[clip])
+            self.items.append((clip, t // 2, t))
+
+    def __getitem__(self, index: int) -> Dict:
+        clip, i, t = self.items[index]
+        sel = index_generation(i, t, self.n_frames, self.padding)
+        item = {
+            "LQs": self.clip_frames(clip)[sel],
+            "folder": clip,
+            "idx": f"{i}/{t}",
+            "border": 0,
+        }
+        if self.gt_index is not None:
+            item["GT"] = self.clip_frames(clip, gt=True)[i]
+        return item

@@ -26,6 +26,7 @@ from dynavsr_tpu.data.datasets import (
     REDSDataset,
     VideoTestDataset,
     Vimeo90KDataset,
+    Vimeo90KTestDataset,
 )
 
 __all__ = ["create_dataset", "create_dataloader", "PrefetchLoader"]
@@ -39,6 +40,8 @@ def create_dataset(dataset_opt: Mapping):
         return Vimeo90KDataset(dataset_opt)
     if mode in ("video_test", "video_samedirs", "Vid4", "REDS4"):
         return VideoTestDataset(dataset_opt)
+    if mode in ("Vimeo90K_test", "vimeo90k_test"):
+        return Vimeo90KTestDataset(dataset_opt)
     if mode in ("meta", "meta_learner", "MetaREDS", "MetaVimeo"):
         return MetaVideoDataset(dataset_opt)
     raise NotImplementedError(f"Dataset [{mode}] is not recognized.")

@@ -100,6 +100,34 @@ def evaluate_dataset(
     """Per-clip eval over a VideoTestDataset; returns {clip: ClipResult}
     plus an '_avg' entry (reference per-clip + average logging [H])."""
     results: Dict[str, ClipResult] = {}
+    if getattr(test_set, "center_only", False):
+        # Vimeo90K-T protocol: one center window per sequence, batched.
+        items = [test_set[i] for i in range(len(test_set))]
+        windows = np.stack([it["LQs"] for it in items])
+        srs = []
+        for s in range(0, len(items), chunk):
+            srs.append(np.asarray(infer_fn(windows[s : s + chunk])))
+        sr = np.concatenate(srs, axis=0)
+        for it, sr_i in zip(items, sr):
+            gt_i = it.get("GT")
+            res = score_frames(
+                sr_i[None], None if gt_i is None else gt_i[None],
+                ycbcr, crop_border,
+                save_dir=osp.join(save_root, it["folder"]) if save_root else None,
+            )
+            results[it["folder"]] = res
+            if logger and "psnr_avg" in res:
+                logger.info("Seq %s: PSNR %.4f SSIM %.4f", it["folder"],
+                            res["psnr_avg"], res["ssim_avg"])
+        if any("psnr_avg" in r for r in results.values()):
+            results["_avg"] = ClipResult(
+                psnr_avg=float(np.mean([r["psnr_avg"] for r in results.values()])),
+                ssim_avg=float(np.mean([r["ssim_avg"] for r in results.values()])),
+            )
+            if logger:
+                logger.info("Average: PSNR %.4f dB SSIM %.4f",
+                            results["_avg"]["psnr_avg"], results["_avg"]["ssim_avg"])
+        return results
     for clip in test_set.names:
         lq = test_set.clip_frames(clip)
         gt = test_set.clip_frames(clip, gt=True) if test_set.gt_index else None

@@ -50,3 +50,21 @@ def test_evaluate_dataset_groups_and_avg(tmp_path):
     results = evaluate_dataset(_upscale4, ds, n_frames=3)
     assert set(results) == {"a", "b", "_avg"}
     assert np.isfinite(results["_avg"]["psnr_avg"])
+
+
+def test_vimeo_t_center_only_protocol(tmp_path):
+    from tests.test_data import make_clip_tree
+    from dynavsr_tpu.data.loader import create_dataset
+
+    make_clip_tree(str(tmp_path / "GT"), ["s1", "s2", "s3"], frames=7, h=16, w=16)
+    make_clip_tree(str(tmp_path / "LQ"), ["s1", "s2", "s3"], frames=7, h=4, w=4)
+    ds = create_dataset({
+        "mode": "Vimeo90K_test",
+        "dataroot_GT": str(tmp_path / "GT"), "dataroot_LQ": str(tmp_path / "LQ"),
+        "N_frames": 7, "scale": 4,
+    })
+    assert len(ds) == 3  # one item per septuplet
+    assert ds[0]["LQs"].shape == (7, 4, 4, 3)
+    results = evaluate_dataset(_upscale4, ds, n_frames=7, chunk=2)
+    assert set(results) == {"s1", "s2", "s3", "_avg"}
+    assert results["s1"]["frames"] == 1  # center frame only
