@@ -9,9 +9,11 @@ adaptation steps + batched inference), so the measurement includes
 everything the reference's per-clip Python loop does.
 
 vs_baseline: ratio against PYTORCH_GPU_FPS_ESTIMATE — the reference repo
-publishes no throughput numbers (SURVEY.md §6 [H]); 10 fps is our recalled
-order-of-magnitude for PyTorch EDVR-M x4 at Vid4-like resolution on a
-V100-class GPU, UNVERIFIED. Re-measure when a GPU reference is available.
+publishes no throughput numbers (SURVEY.md §6 [H]). Estimate for the SAME
+pipeline on a V100-class GPU: ~0.1 s/frame EDVR-M x4 inference at Vid4
+resolution (1.6 s for 16 frames) + 5 adaptation steps at ~0.3 s
+(fwd+bwd ~ 3x fwd on an 8-window batch) = ~3.1 s per clip -> ~5 frames/s.
+UNVERIFIED (no GPU in this environment); re-measure when one is available.
 
 Usage: python bench.py [--quick]
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -24,7 +26,7 @@ import json
 import sys
 import time
 
-PYTORCH_GPU_FPS_ESTIMATE = 10.0
+PYTORCH_GPU_FPS_ESTIMATE = 5.0
 
 
 def main() -> None:

@@ -17,11 +17,25 @@ from dynavsr_tpu.models.tof import TOFlow
 __all__ = ["define_G"]
 
 
+def _dtype(opt_net):
+    """network_G.dtype: 'bfloat16' activates the bf16 compute path (params
+    stay fp32; MXU runs bf16 — the TPU-flagship serving mode)."""
+    import jax.numpy as jnp
+
+    name = opt_net.get("dtype")
+    if name in (None, "float32", "fp32"):
+        return None
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown network dtype {name!r}")
+
+
 def define_G(opt: Mapping[str, Any]):
     """opt: full config dict (reference-style). Uses opt['network_G']."""
     opt_net = opt["network_G"]
     which = opt_net["which_model_G"]
     scale = opt.get("scale", 4)
+    dt = _dtype(opt_net)
 
     if which == "EDVR":
         return EDVR(
@@ -34,17 +48,18 @@ def define_G(opt: Mapping[str, Any]):
             predeblur=bool(opt_net.get("predeblur", False)),
             hr_in=bool(opt_net.get("HR_in", False)),
             w_TSA=opt_net.get("w_TSA", True) is not False,
+            dtype=dt,
         )
     if which == "TOF":
-        return TOFlow()
+        return TOFlow(dtype=dt)
     if which == "DUF_16L":
-        return DUF(scale=scale, dense1_layers=3)
+        return DUF(scale=scale, dense1_layers=3, dtype=dt)
     if which == "DUF_28L":
-        return DUF(scale=scale, dense1_layers=9)
+        return DUF(scale=scale, dense1_layers=9, dtype=dt)
     if which == "DUF_52L":
-        return DUF(scale=scale, dense1_layers=21)
+        return DUF(scale=scale, dense1_layers=21, dtype=dt)
     if which == "MFDN":
-        return MFDN(scale=scale, nf=opt_net.get("nf", 64))
+        return MFDN(scale=scale, nf=opt_net.get("nf", 64), dtype=dt)
     if which == "SFDN":
-        return SFDN(scale=scale, nf=opt_net.get("nf", 64))
+        return SFDN(scale=scale, nf=opt_net.get("nf", 64), dtype=dt)
     raise NotImplementedError(f"Generator model [{which}] not recognized")
