@@ -47,14 +47,18 @@ def _make_tx(cfg: AdaptConfig) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
-def make_adapt_step(vsr_model, cfg: AdaptConfig):
-    """One adaptation gradient step on a batch of (SLR window, LR center)."""
+def make_adapt_step(vsr_model, cfg: AdaptConfig, apply_fn=None):
+    """One adaptation gradient step on a batch of (SLR window, LR center).
+
+    apply_fn(params, x) overrides vsr_model.apply — e.g. a mod-padded apply
+    (models/padding.py) so pyramid nets accept arbitrary SLR sizes."""
     from dynavsr_tpu.train.losses import charbonnier_loss
 
     tx = _make_tx(cfg)
+    apply = apply_fn or vsr_model.apply
 
     def loss_fn(params, slr_windows, lr_centers):
-        pred = vsr_model.apply(params, slr_windows)
+        pred = apply(params, slr_windows)
         return charbonnier_loss(pred, lr_centers, reduction=cfg.reduction)
 
     def step(params, opt_state, slr_windows, lr_centers):
@@ -66,7 +70,8 @@ def make_adapt_step(vsr_model, cfg: AdaptConfig):
     return tx, step
 
 
-def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True):
+def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True,
+                         apply_fn=None):
     """Build adapt_and_infer(params, slr_windows, lr_centers, lr_windows).
 
     slr_windows: (K, N, h/s, w/s, 3) adaptation inputs (from MFDN)
@@ -78,7 +83,8 @@ def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True):
     inference is one batched apply (optionally lax.map-chunked to bound
     memory for long clips).
     """
-    tx, step = make_adapt_step(vsr_model, cfg)
+    tx, step = make_adapt_step(vsr_model, cfg, apply_fn)
+    apply = apply_fn or vsr_model.apply
 
     def run(params, slr_windows, lr_centers, lr_windows):
         opt_state = tx.init(params)
@@ -98,16 +104,17 @@ def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True):
             pad = n_chunks * chunk - f
             padded = jnp.pad(lr_windows, [(0, pad)] + [(0, 0)] * (lr_windows.ndim - 1))
             chunks = padded.reshape((n_chunks, chunk) + lr_windows.shape[1:])
-            sr = jax.lax.map(lambda w: vsr_model.apply(adapted, w), chunks)
+            sr = jax.lax.map(lambda w: apply(adapted, w), chunks)
             sr = sr.reshape((n_chunks * chunk,) + sr.shape[2:])[:f]
         else:
-            sr = vsr_model.apply(adapted, lr_windows)
+            sr = apply(adapted, lr_windows)
         return sr, losses
 
     return jax.jit(run) if jit else run
 
 
-def make_adapt_and_infer_batched(vsr_model, cfg: AdaptConfig, mesh=None):
+def make_adapt_and_infer_batched(vsr_model, cfg: AdaptConfig, mesh=None,
+                                 apply_fn=None):
     """Clip-parallel adaptation (SURVEY.md §2.6): vmap the whole per-clip
     adapt+infer over a leading clips axis and shard clips over the
     ('data',) mesh — each chip adapts ITS OWN clips concurrently, replacing
@@ -118,7 +125,7 @@ def make_adapt_and_infer_batched(vsr_model, cfg: AdaptConfig, mesh=None):
       lr_centers (C, K, h, w, 3), lr_windows (C, F, N, h, w, 3)
     Returns sr (C, F, H, W, 3), losses (C, n_steps).
     """
-    single = make_adapt_and_infer(vsr_model, cfg, jit=False)
+    single = make_adapt_and_infer(vsr_model, cfg, jit=False, apply_fn=apply_fn)
     fn = jax.vmap(single, in_axes=(None, 0, 0, 0))
     if mesh is None:
         return jax.jit(fn)

@@ -66,25 +66,23 @@ def main(argv=None):
         optimizer=a.get("optimizer") or "adam",
         infer_chunk=int(a.get("infer_chunk") or 8),
     )
-    run = make_adapt_and_infer(vsr.netG, cfg)
+    # Mod-pad both the SLR pseudo-task inputs and the LR inference windows:
+    # SLR = LR/4 is generally NOT pyramid-divisible (e.g. 9x11 on Vid4).
+    from dynavsr_tpu.models.padding import arch_mod, mod_pad_apply
+
+    mod = arch_mod((opt["network_G"] or {}).get("which_model_G"))
+    padded_apply = lambda p, x: mod_pad_apply(  # noqa: E731
+        lambda xx: vsr.netG.apply(p, xx), x, mod=mod, scale=scale)
+    run = make_adapt_and_infer(vsr.netG, cfg, apply_fn=padded_apply)
 
     results = {}
     for name, dataset_opt in (opt["datasets"] or {}).items():
         test_set = create_dataset(dataset_opt)
-        for clip in test_set.names:
-            lq = test_set.clip_frames(clip)
-            gt = test_set.clip_frames(clip, gt=True) if test_set.gt_index else None
-            t = lq.shape[0]
-            win = all_windows(t, n_frames, dataset_opt.get("padding") or "reflection")
-            lr_windows = jnp.asarray(lq[win])
-            n_adapt = min(int(a.get("n_windows") or 8), t)
-            adapt_windows = lr_windows[:n_adapt]
-            slr_windows = est_fwd(est_params, adapt_windows)
-            lr_centers = adapt_windows[:, n_frames // 2]
-            sr, losses = run(vsr.state.params, slr_windows, lr_centers, lr_windows)
-            sr = np.asarray(sr)
+        ev = opt.get("eval") or {}
+        n_adapt_cfg = int(a.get("n_windows") or 8)
+        padding = dataset_opt.get("padding") or "reflection"
 
-            ev = opt.get("eval") or {}
+        def score(clip, sr, gt, losses):
             res = score_frames(
                 sr, gt,
                 ycbcr=bool(ev.get("ycbcr", True)),
@@ -97,6 +95,49 @@ def main(argv=None):
             if "psnr_avg" in res:
                 logger.info("Clip %s: PSNR %.4f SSIM %.4f (adapted, %d steps)",
                             clip, res["psnr_avg"], res["ssim_avg"], cfg.n_steps)
+
+        if a.get("clip_parallel"):
+            # All clips adapt CONCURRENTLY, sharded over the device mesh
+            # (SURVEY.md §2.6 adaptation-parallelism row).
+            from dynavsr_tpu.adapt.adaptation import (
+                batch_clips,
+                make_adapt_and_infer_batched,
+            )
+            from dynavsr_tpu.parallel.mesh import data_mesh
+
+            clips = test_set.names
+            wins = [test_set.clip_frames(c)[
+                all_windows(len(test_set.lq_index.clips[c]), n_frames, padding)]
+                for c in clips]
+            lr_w, adapt_w, lr_c, lens = batch_clips(
+                wins, n_adapt_cfg, n_frames // 2)
+            slr_w = est_fwd(est_params, jnp.asarray(adapt_w).reshape(
+                (-1,) + adapt_w.shape[2:]))
+            slr_w = slr_w.reshape(adapt_w.shape[:2] + slr_w.shape[1:])
+            n_dev = int(opt.get("n_devices") or 0)
+            mesh = data_mesh(jax.devices()[:n_dev] if n_dev else None) \
+                if len(clips) % max(1, jax.device_count()) == 0 else None
+            run_b = make_adapt_and_infer_batched(
+                vsr.netG, cfg, mesh=mesh, apply_fn=padded_apply)
+            sr_all, losses_all = run_b(
+                vsr.state.params, slr_w, jnp.asarray(lr_c), jnp.asarray(lr_w))
+            sr_all = np.asarray(sr_all)
+            for i, clip in enumerate(clips):
+                gt = test_set.clip_frames(clip, gt=True) if test_set.gt_index else None
+                score(clip, sr_all[i, : lens[i]], gt, losses_all[i])
+        else:
+            for clip in test_set.names:
+                lq = test_set.clip_frames(clip)
+                gt = test_set.clip_frames(clip, gt=True) if test_set.gt_index else None
+                t = lq.shape[0]
+                win = all_windows(t, n_frames, padding)
+                lr_windows = jnp.asarray(lq[win])
+                n_adapt = min(n_adapt_cfg, t)
+                adapt_windows = lr_windows[:n_adapt]
+                slr_windows = est_fwd(est_params, adapt_windows)
+                lr_centers = adapt_windows[:, n_frames // 2]
+                sr, losses = run(vsr.state.params, slr_windows, lr_centers, lr_windows)
+                score(clip, np.asarray(sr), gt, losses)
     if any("psnr_avg" in r for r in results.values()):
         avg_p = float(np.mean([r["psnr_avg"] for r in results.values()]))
         avg_s = float(np.mean([r["ssim_avg"] for r in results.values()]))

@@ -135,7 +135,11 @@ class VideoBaseModel:
     def make_infer_fn(self):
         """Windows -> SR frames, with per-arch input conventions:
         TOF consumes bicubically pre-upscaled frames (TOF_arch [H]); EDVR/
-        DUF/others consume LR directly."""
+        DUF/others consume LR directly. Pyramid nets get mod-padded inputs
+        (models/padding.py) so arbitrary clip sizes work like the
+        reference's padded eval."""
+        from dynavsr_tpu.models.padding import arch_mod, mod_pad_apply
+
         which = (self.opt.get("network_G") or {}).get("which_model_G")
         scale = self.opt.get("scale", 4)
         if which == "TOF":
@@ -146,10 +150,15 @@ class VideoBaseModel:
                 b, n, h, ww, c = w.shape
                 up = imresize_batched(w.reshape(b * n, h, ww, c), float(scale))
                 up = up.reshape(b, n, h * scale, ww * scale, c)
-                return self._eval_step(self.state.params, up)
+                return mod_pad_apply(
+                    lambda x: self._eval_step(self.state.params, x),
+                    up, mod=arch_mod("TOF"), scale=1)
 
             return infer
-        return lambda w: self._eval_step(self.state.params, jnp.asarray(w))
+        mod = arch_mod(which)
+        return lambda w: mod_pad_apply(
+            lambda x: self._eval_step(self.state.params, x),
+            jnp.asarray(w), mod=mod, scale=scale)
 
     def get_current_log(self) -> Dict[str, float]:
         return dict(self.log)

@@ -142,3 +142,15 @@ def test_edvr_hr_in_variant():
     params = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(params, x)
     assert out.shape == (1, 32, 32, 3)  # same-size restoration
+
+
+def test_edvr_mod_pad_apply_odd_sizes():
+    """EDVR via mod_pad_apply accepts non-/4 sizes (DynaVSR SLR inputs)."""
+    from dynavsr_tpu.models.padding import mod_pad_apply
+
+    model = EDVR(nf=8, nframes=3, groups=2, front_RBs=1, back_RBs=1)
+    x9 = jnp.zeros((1, 3, 9, 11, 3))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 12, 12, 3)))
+    out = mod_pad_apply(lambda xx: model.apply(params, xx), x9, mod=4, scale=4)
+    assert out.shape == (1, 36, 44, 3)
+    assert bool(jnp.isfinite(out).all())
