@@ -205,3 +205,24 @@ def test_adapt_batched_clip_parallel_8dev():
     # padded frames beyond each clip's length are ignored by slicing
     for i, f in enumerate(lens):
         assert np.isfinite(np.asarray(sr[i, :f])).all()
+
+
+def test_adapt_with_mod_padding_odd_slr():
+    """Adaptation on SLR inputs that don't divide the EDVR pyramid (the
+    DynaVSR Vid4 case: SLR = LR/4 = 9x11) via the padded apply."""
+    from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
+    from dynavsr_tpu.models.padding import mod_pad_apply
+
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 12, 12, 3)))
+    padded = lambda p, x: mod_pad_apply(  # noqa: E731
+        lambda xx: model.apply(p, xx), x, mod=4, scale=4)
+    cfg = AdaptConfig(n_steps=2, lr=1e-4)
+    run = make_adapt_and_infer(model, cfg, apply_fn=padded)
+    slr = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 9, 11, 3))
+    lrc = jax.random.uniform(jax.random.PRNGKey(2), (2, 36, 44, 3))
+    lrw = jax.random.uniform(jax.random.PRNGKey(3), (4, 3, 36, 44, 3))
+    sr, losses = run(params, slr, lrc, lrw)
+    assert sr.shape == (4, 144, 176, 3)
+    assert losses.shape == (2,)
+    assert bool(jnp.isfinite(sr).all()) and bool(jnp.isfinite(losses).all())
