@@ -15,7 +15,6 @@ adaptation" target comes from (BASELINE.json).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

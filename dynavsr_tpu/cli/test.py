@@ -10,8 +10,6 @@ import argparse
 import logging
 import os.path as osp
 
-import jax.numpy as jnp
-
 
 def main(argv=None):
     parser = argparse.ArgumentParser()

@@ -18,13 +18,12 @@ axis 0 — feed through data/loader.py for batching + device placement.
 
 from __future__ import annotations
 
-import os.path as osp
 import random
-from typing import Dict, List, Mapping, Optional, Sequence
+from typing import Dict, List, Mapping
 
 import numpy as np
 
-from dynavsr_tpu.data.io import glob_clip_folders, read_img, read_img_seq
+from dynavsr_tpu.data.io import glob_clip_folders, read_img
 from dynavsr_tpu.data.windows import index_generation
 
 __all__ = [

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import cv2
 import numpy as np

@@ -9,7 +9,6 @@ with cv2 on read — same as the reference's cv2.imdecode path.
 
 from __future__ import annotations
 
-import os.path as osp
 from typing import Dict, List
 
 import cv2

@@ -8,7 +8,7 @@ one compiled body regardless of depth (compile-time win for back_RBs=40).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ degradations (models/ downscaler trainer row [H], SURVEY.md §3.5).
 from __future__ import annotations
 
 import os.path as osp
-from typing import Any, Dict, Mapping, Optional
+from typing import Dict, Mapping, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ import dataclasses
 from typing import Mapping, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -10,15 +10,14 @@ XLA. LR scheduling runs inside the step via optax inject_hyperparams.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Mapping, Optional, Tuple
+from typing import Callable, Mapping, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 from flax.training import train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dynavsr_tpu.train.losses import charbonnier_loss, make_pixel_criterion
+from dynavsr_tpu.train.losses import make_pixel_criterion
 from dynavsr_tpu.train.schedules import cosine_annealing_restart, multistep_restart, with_warmup
 
 __all__ = ["TrainState", "make_optimizer", "make_train_step", "make_eval_step", "TrainerConfig"]
