@@ -47,13 +47,23 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+_LEAF_MAP = {
+    "kernel": "weight",
+    "weight": "weight",
+    "scale": "weight",         # flax BatchNorm scale -> torch bn.weight
+    "mean": "running_mean",    # flax batch_stats      -> torch running stats
+    "var": "running_var",
+}
+
+
 def flax_to_torch_key(path: Tuple[str, ...]) -> Tuple[str, bool]:
-    """Map a flax param path (without 'params' root and scan markers) to the
-    torch state_dict key. Returns (key, is_kernel)."""
+    """Map a flax param path (without 'params'/'batch_stats' root and scan
+    markers) to the torch state_dict key. Returns (key, needs_layout_fix):
+    only conv/linear kernels transpose; BN scale is 1-D and passes through."""
     *mods, leaf = path
-    is_kernel = leaf == "kernel"
-    torch_leaf = "weight" if leaf in ("kernel", "weight") else leaf
-    return ".".join(list(mods) + [torch_leaf]), is_kernel or leaf == "weight"
+    is_kernel = leaf in ("kernel", "weight")
+    torch_leaf = _LEAF_MAP.get(leaf, leaf)
+    return ".".join(list(mods) + [torch_leaf]), is_kernel
 
 
 def _to_flax(arr: np.ndarray, want_shape, is_weight: bool) -> np.ndarray:
@@ -86,7 +96,7 @@ def convert_state_dict(
         names = tuple(
             k.key if hasattr(k, "key") else str(k) for k in keypath
         )
-        if names and names[0] == "params":
+        if names and names[0] in ("params", "batch_stats"):
             names = names[1:]
         if "blocks" in names:
             # nn.scan trunk: ('trunkname', 'blocks', 'block', 'convX', leaf)

@@ -137,3 +137,72 @@ def test_torch_conv_semantic_parity():
     params = convert_state_dict(sd, template)
     jy = np.asarray(m.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(jy, ty, atol=2e-5)
+
+
+def test_batchnorm_conversion_matches_torch():
+    """flax BatchNorm (inference) with converted torch BN params/stats."""
+    torch = pytest.importorskip("torch")
+    import flax.linen as nn
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 5, 6, 4)).astype(np.float32)
+    tbn = torch.nn.BatchNorm2d(4)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.rand(4) + 0.5)
+        tbn.bias.copy_(torch.rand(4))
+        tbn.running_mean.copy_(torch.rand(4))
+        tbn.running_var.copy_(torch.rand(4) + 0.5)
+    tbn.eval()
+    with torch.no_grad():
+        ref = tbn(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.BatchNorm(use_running_average=True, name="bn")(x)
+
+    m = M()
+    template = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    sd = {
+        "bn.weight": tbn.weight.detach().numpy(),
+        "bn.bias": tbn.bias.detach().numpy(),
+        "bn.running_mean": tbn.running_mean.numpy(),
+        "bn.running_var": tbn.running_var.numpy(),
+    }
+    variables = convert_state_dict(sd, template)
+    ours = np.asarray(m.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_duf_template_conversion_roundtrip():
+    """DUF template (3D convs + BN batch_stats) fully converts."""
+    from dynavsr_tpu.models.duf import DUF
+
+    model = DUF(scale=4, dense1_layers=1)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 7, 8, 8, 3)))
+    )
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), template)
+
+    rng = np.random.default_rng(4)
+    sd = {}
+    flat = jax.tree_util.tree_flatten_with_path(template)[0]
+    for keypath, leaf in flat:
+        names = tuple(k.key for k in keypath)
+        if names[0] in ("params", "batch_stats"):
+            names = names[1:]
+        key, is_w = flax_to_torch_key(names)
+        s = np.shape(leaf)
+        if is_w and len(s) == 5:
+            s = (s[4], s[3], s[0], s[1], s[2])  # DHWIO -> OIDHW
+        elif is_w and len(s) == 4:
+            s = (s[3], s[2], s[0], s[1])
+        sd[key] = rng.standard_normal(s).astype(np.float32)
+    assert any("running_mean" in k for k in sd)
+    out = convert_state_dict(sd, template)
+    got = np.asarray(out["params"]["conv3d_1"]["kernel"])
+    want = sd["conv3d_1.weight"].transpose(2, 3, 4, 1, 0)
+    np.testing.assert_array_equal(got, want)
+    got_bn = np.asarray(out["batch_stats"]["dense1_0"]["bn1"]["mean"])
+    np.testing.assert_array_equal(got_bn, sd["dense1_0.bn1.running_mean"])
