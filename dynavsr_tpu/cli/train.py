@@ -23,12 +23,17 @@ import jax
 import jax.numpy as jnp
 
 
-def synthesize_meta_batch(key, hr: np.ndarray, scale: int):
-    """Device-side (SLR, LR, centers) from HR windows (SURVEY.md §3.3)."""
+def synthesize_meta_batch(key, hr: np.ndarray, scale: int, estimator=None):
+    """Device-side (SLR, LR, centers) from HR windows (SURVEY.md §3.3).
+
+    estimator: optional jitted MFDN apply — SLR = MFDN(LR) (the paper's
+    estimator-in-the-loop variant) instead of the same-kernel synthesis."""
     from dynavsr_tpu.data.degradations import synthesize_pair
 
     hr_j = jnp.asarray(hr)
     lr, slr, _ = synthesize_pair(key, hr_j, scale)
+    if estimator is not None:
+        slr = estimator(lr)
     c = hr.shape[1] // 2
     return {
         "SLR": slr,
@@ -114,6 +119,21 @@ def main(argv=None):
     scale = opt.get("scale", 4)
     key = jax.random.PRNGKey(seed)
 
+    # Optional frozen degradation estimator in the meta loop (network_E;
+    # reference meta-training loads a pre-trained MFDN — SURVEY.md §3.3).
+    estimator_fn = None
+    if which in ("video_meta", "meta", "dynavsr") and opt.get("network_E"):
+        from dynavsr_tpu.models.networks import define_G
+
+        est = define_G({"scale": scale, "network_G": opt["network_E"]})
+        nf_e = (opt["datasets"].get("train") or {}).get("N_frames") or 5
+        est_params = jax.jit(est.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, nf_e, 32, 32, 3)))
+        est_path = (opt.get("path") or {}).get("pretrain_model_E")
+        if est_path:
+            est_params = model.load_pretrained(est_path, est_params)
+        estimator_fn = jax.jit(lambda lr: est.apply(est_params, lr))
+
     print_freq = int(opt["logger"].get("print_freq") or 100) if opt.get("logger") else 100
     save_freq = int(opt["logger"].get("save_checkpoint_freq") or 5000) if opt.get("logger") else 5000
     val_freq = int(opt["train"].get("val_freq") or 5000)
@@ -132,7 +152,8 @@ def main(argv=None):
             current_step += 1
             if which in ("video_meta", "meta", "dynavsr"):
                 key, k = jax.random.split(key)
-                model.feed_data(synthesize_meta_batch(k, batch["HR"], scale))
+                model.feed_data(
+                    synthesize_meta_batch(k, batch["HR"], scale, estimator_fn))
             elif which in ("downscaler", "estimator"):
                 key, k = jax.random.split(key)
                 src = batch.get("HR", batch.get("GT"))
@@ -177,11 +198,15 @@ def _validate(model, val_set, opt, step, logger):
     from dynavsr_tpu.eval.harness import evaluate_dataset
 
     n_frames = (opt["network_G"] or {}).get("nframes", 5)
+    save_root = None
+    if (opt.get("logger") or {}).get("save_val_images"):
+        save_root = osp.join(opt["path"]["val_images"], f"iter_{step}")
     results = evaluate_dataset(
         model.make_infer_fn(),
         val_set,
         n_frames=n_frames,
         padding=(opt["datasets"].get("val") or {}).get("padding") or "reflection",
+        save_root=save_root,
         logger=None,
     )
     if "_avg" in results:

@@ -169,3 +169,48 @@ def test_tof_infer_wrapper_preupscales(workdir):
     out = np.asarray(infer(np.random.rand(2, 7, 8, 8, 3).astype(np.float32)))
     assert out.shape == (2, 32, 32, 3)
     assert np.isfinite(out).all()
+
+
+def test_meta_train_with_estimator_cli(workdir, monkeypatch):
+    """Meta-training with MFDN-in-the-loop (network_E) through the CLI."""
+    from dynavsr_tpu.cli import train as train_cli
+
+    yml = workdir / "meta_e.yml"
+    yml.write_text(textwrap.dedent(f"""
+        name: tiny_meta_e
+        model: video_meta
+        scale: 4
+        datasets:
+          train:
+            name: meta
+            mode: meta
+            dataroot_GT: {workdir / 'GT'}
+            N_frames: 3
+            GT_size: 32
+            batch_size: 8
+            n_workers: 1
+        network_G:
+          which_model_G: EDVR
+          nf: 8
+          nframes: 3
+          groups: 2
+          front_RBs: 1
+          back_RBs: 1
+        network_E:
+          which_model_G: MFDN
+          nf: 8
+        path: {{}}
+        train:
+          lr_G: !!float 1e-5
+          lr_scheme: constant
+          niter: 2
+          maml_lr_alpha: !!float 1e-5
+          maml_adapt_iter: 1
+          manual_seed: 0
+        logger:
+          print_freq: 1
+          save_checkpoint_freq: 1000
+          tb_logger: false
+    """))
+    monkeypatch.chdir(workdir)
+    assert train_cli.main(["-opt", str(yml)]) == 2
