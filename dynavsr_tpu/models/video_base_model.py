@@ -60,6 +60,7 @@ def trainer_config_from_opt(opt: Mapping) -> TrainerConfig:
         warmup_iter=t.get("warmup_iter") if t.get("warmup_iter") is not None else -1,
         pixel_weight=t.get("pixel_weight") or 1.0,
         criterion=t.get("pixel_criterion") or "cb",
+        reduction=t.get("pixel_criterion_reduction") or "mean",
     )
 
 
