@@ -70,7 +70,7 @@ def main() -> None:
 
     params = model.init(k4, lr_windows[:1])
     cfg = AdaptConfig(n_steps=args.adapt_steps, lr=1e-6, optimizer="adam",
-                      infer_chunk=4 if not args.quick else 0)
+                      infer_chunk=0)  # single-batch inference measured fastest
     run = make_adapt_and_infer(model, cfg)
 
     import numpy as np
