@@ -131,13 +131,22 @@ def main(argv=None):
                 gt = test_set.clip_frames(clip, gt=True) if test_set.gt_index else None
                 t = lq.shape[0]
                 win = all_windows(t, n_frames, padding)
-                lr_windows = jnp.asarray(lq[win])
+                windows = lq[win]
+                # Bucket the frame count to a multiple of 8 so clips of
+                # different lengths share ONE compiled adapt+infer program
+                # (jit compiles per shape; Vid4's four lengths would
+                # otherwise cost four multi-minute TPU compiles).
+                t_pad = -(-t // 8) * 8
+                if t_pad != t:
+                    windows = np.concatenate(
+                        [windows, np.repeat(windows[-1:], t_pad - t, axis=0)], axis=0)
+                lr_windows = jnp.asarray(windows)
                 n_adapt = min(n_adapt_cfg, t)
                 adapt_windows = lr_windows[:n_adapt]
                 slr_windows = est_fwd(est_params, adapt_windows)
                 lr_centers = adapt_windows[:, n_frames // 2]
                 sr, losses = run(vsr.state.params, slr_windows, lr_centers, lr_windows)
-                score(clip, np.asarray(sr), gt, losses)
+                score(clip, np.asarray(sr)[:t], gt, losses)
     if any("psnr_avg" in r for r in results.values()):
         avg_p = float(np.mean([r["psnr_avg"] for r in results.values()]))
         avg_s = float(np.mean([r["ssim_avg"] for r in results.values()]))
