@@ -7,20 +7,24 @@ with a formulation shaped by measured v5e behavior:
   * TPU vector-addressed loads are ROW-COUNT bound (~1.5-2.8 ns per
     gathered row almost regardless of row width) and collapse ~12x when
     the source spills from VMEM to HBM. The kernel therefore
-    (a) scans over frames so each gather source stays VMEM-resident,
+    (a) scans over frame CHUNKS sized so each gather source stays
+        VMEM-resident (~6 MB budget; large frames -> 1 frame/step, small
+        SLR frames -> many, amortizing scan overhead),
     (b) packs the two VERTICAL bilinear corners into one row — source is
         concat(x_pad, roll(x_pad, -row_stride)) so row p carries both
-        (y0, x) and (y0+1, x) — halving row count,
-    (c) zero-pads the frame by a 2-pixel ring and clamps corner coords
-        into the ring, which reproduces the CUDA kernel's zero-outside
-        semantics with NO per-corner masks, and
-    (d) performs one (HW, K*C) x (K*C, Cout) MXU matmul per frame.
-    Measured: ~0.7 ms per 144x176x64 frame per DCN call (Gd=1) vs 94 ms
-    for the naive global formulation.
-  * Each frame's step is wrapped in jax.checkpoint: backward re-gathers
-    frame-by-frame instead of saving im2col columns. Peak memory
-    O(HW*K*C) per frame — the unfused formulation OOMs at 38 GB on a
-    16 GB chip at Vid4 shapes.
+        (y0, x) and (y0+1, x); for grouped DCN all FOUR corners pack into
+        one 4*cg-lane row,
+    (c) zero-pads each frame by a 2-pixel ring and clamps corner coords
+        into the ring — exact CUDA zero-outside semantics with NO
+        per-corner masks (the ring also makes cross-frame rolls safe), and
+    (d) reduces the bilinear corners ON THE MXU: the gathered block is
+        scaled by a full-lane corner-weight x mask field and contracted
+        against a corner-expanded weight matrix (a VPU combine on
+        cg=8-minor arrays costs more than the gather itself).
+  * Each chunk's step is wrapped in jax.checkpoint: backward re-gathers
+    chunk-by-chunk instead of saving im2col columns. Peak memory
+    O(chunk*HW*K*C) — the unfused formulation OOMs at 38 GB on a 16 GB
+    chip at Vid4 shapes.
   * Gradients flow through JAX autodiff: gather VJP -> scatter-add; offset
     grads match the analytic CUDA backward (dmcn_get_coordinate_weight)
     away from integer positions.
@@ -43,11 +47,33 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["deform_conv2d_fused"]
+__all__ = ["deform_conv2d_fused", "set_frame_chunk_budget"]
+
+# Frame-chunking budget for the scan (bytes of packed source per step).
+# Chunking small (SLR-scale) frames speeds the standalone op ~2x, but
+# measured END-TO-END it regressed the adapt+infer bench 6.9 -> 5.0 fps
+# (the rematerialized backward of a multi-frame chunk schedules worse), so
+# the default disables it. set_frame_chunk_budget(6<<20) re-enables for
+# experimentation.
+_VMEM_SRC_BUDGET = 0
+
+
+def set_frame_chunk_budget(nbytes: int) -> None:
+    global _VMEM_SRC_BUDGET
+    _VMEM_SRC_BUDGET = int(nbytes)
 
 
 def _out_size(size: int, k: int, stride: int, pad: int, dil: int) -> int:
     return (size + 2 * pad - dil * (k - 1) - 1) // stride + 1
+
+
+def _pick_chunk(b: int, src_bytes_per_frame: int) -> int:
+    if _VMEM_SRC_BUDGET <= 0:
+        return 1
+    fc = max(1, min(b, _VMEM_SRC_BUDGET // max(1, src_bytes_per_frame)))
+    while b % fc:
+        fc -= 1
+    return fc
 
 
 def deform_conv2d_fused(
@@ -76,11 +102,14 @@ def deform_conv2d_fused(
     ho = _out_size(h, kh, stride, padding, dilation)
     wo = _out_size(w, kw, stride, padding, dilation)
     hw = ho * wo
-    # 2-pixel zero-pad ring: clamping y0 into [-2, h+1] keeps the invariant
-    # "a truly-outside corner lands on a zero row AND its +1 neighbor is
-    # still zero unless the true neighbor is inside" (a 1-pixel ring breaks
-    # it for corners more than 1px outside).
+    # 2-pixel zero-pad ring (see module docstring).
     hp, wp = h + 4, w + 4
+
+    pack_lanes = (4 * cg) if gd > 1 else (2 * cin)
+    src_bytes = hp * wp * gd * pack_lanes * x.dtype.itemsize
+    fc = _pick_chunk(b, src_bytes)
+    nchunk = b // fc
+    frame_rows = hp * wp * gd  # packed rows per frame
 
     # Base sampling position (top-left tap) per output pixel, fp32.
     oy = (jnp.arange(ho, dtype=jnp.float32) * stride - padding)[:, None]
@@ -89,9 +118,19 @@ def deform_conv2d_fused(
     base_x = jnp.broadcast_to(ox, (ho, wo)).reshape(hw)
     ty = (jnp.arange(kh, dtype=jnp.float32) * dilation).repeat(kw)  # (K,)
     tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) * dilation, kh)
+    # Flatten (frame-in-chunk, pixel) into ONE axis so fc=1 compiles to the
+    # exact single-frame program (a leading singleton axis measurably hurt
+    # XLA's schedule); the frame offset rides the row ids.
+    nf = fc * hw
+    base_y = jnp.tile(base_y, fc)
+    base_x = jnp.tile(base_x, fc)
+    f_rows = jnp.repeat(
+        jnp.arange(fc, dtype=jnp.int32) * frame_rows, hw
+    )[:, None, None]  # (nf, 1, 1)
 
-    offs = offset.astype(jnp.float32).reshape(b, hw, gd, k, 2)
-    masks = None if mask is None else mask.reshape(b, hw, gd, k)
+    offs = offset.astype(jnp.float32).reshape(nchunk, nf, gd, k, 2)
+    masks = None if mask is None else mask.reshape(nchunk, nf, gd, k)
+    xs_frames = x.reshape(nchunk, fc, h * w, cin)
 
     compute_dtype = x.dtype
     w_mat = weight.reshape(k * cin_g, cout).astype(compute_dtype)
@@ -115,21 +154,19 @@ def deform_conv2d_fused(
 
     row_stride = wp * gd  # rows between (y, x) and (y+1, x) in packed layout
 
-    def frame_body(carry, xs):
+    def chunk_body(carry, xs):
         if masks is not None:
             xf, of, mf = xs
         else:
             xf, of = xs
             mf = None
-        # Packed, padded source. Gather rate is row-count bound, so pack as
-        # many corners per row as the lane budget allows:
-        #   gd == 1: rows of 2C = [x(y,x), x(y+1,x)]; 4C rows measured SLOWER
-        #            (512B splits across vregs), so x-corners use a 2nd take.
-        #   gd  > 1: rows are narrow (cg lanes) — pack ALL 4 corners
-        #            [x(y,x), x(y,x+1), x(y+1,x), x(y+1,x+1)] in one take.
+        # Packed, padded source for the whole chunk: frame index folds into
+        # the row id (each frame's 2px zero ring makes cross-frame rolls
+        # contribute zeros, so one roll covers every frame).
         xpad = jnp.pad(
-            xf.reshape(h, w, gd, cg), ((2, 2), (2, 2), (0, 0), (0, 0))
-        ).reshape(hp * wp * gd, cg)
+            xf.reshape(fc, h, w, gd, cg),
+            ((0, 0), (2, 2), (2, 2), (0, 0), (0, 0)),
+        ).reshape(fc * hp * wp * gd, cg)
         if gd == 1:
             src = jnp.concatenate(
                 [xpad, jnp.roll(xpad, -row_stride, axis=0)], axis=-1)
@@ -140,7 +177,7 @@ def deform_conv2d_fused(
                  jnp.roll(xpad, -row_stride, axis=0),
                  jnp.roll(xpad, -(row_stride + gd), axis=0)], axis=-1)
 
-        # positions: (HW, Gd, K); +1 shift into the padded frame.
+        # positions: (NF = fc*HW, Gd, K); +2 shift into the padded frame.
         ys = base_y[:, None, None] + ty[None, None, :] + of[..., 0]
         xq = base_x[:, None, None] + tx[None, None, :] + of[..., 1]
         y0 = jnp.floor(ys)
@@ -150,47 +187,39 @@ def deform_conv2d_fused(
         wy0 = 1.0 - wy1
         wx0 = 1.0 - wx1
         # Clamp into [-2, size+1]: every truly-outside corner (and its +1
-        # neighbor, unless truly inside) lands in the zero ring, reproducing
-        # zero-outside contributions without masks.
+        # neighbor, unless truly inside) lands in the zero ring.
         y0i = jnp.clip(y0.astype(jnp.int32), -2, h + 1)
         x0i = jnp.clip(x0.astype(jnp.int32), -2, w + 1)
         g_iota = jnp.arange(gd, dtype=jnp.int32)[None, :, None]
-        p = ((y0i + 2) * wp + (x0i + 2)) * gd + g_iota  # (HW, Gd, K)
+        p = ((y0i + 2) * wp + (x0i + 2)) * gd + g_iota + f_rows  # (NF, Gd, K)
         p = p.reshape(-1)
+        n = nf
 
         if gd > 1 and groups == 1:
-            # Folded path: do NOT reduce the 4 corners on the VPU — arrays
-            # shaped (..., cg=8) use 8 of 128 lanes and the combine costs
-            # more than the gather. Instead multiply by a full-lane
-            # (HW, Gd*K*4*cg) weight field (corner weights x mask) and let
-            # the MXU reduce corners via a 4x-expanded weight matrix.
-            v = jnp.take(src, p, axis=0, mode="clip").reshape(hw, gd * k * 4 * cg)
+            v = jnp.take(src, p, axis=0, mode="clip").reshape(n, gd * k * 4 * cg)
             wcorn = jnp.stack(
                 [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1
-            )  # (HW, Gd, K, 4) in compute dtype (wy*/wx* carry [..., None])
-            wcorn = wcorn[..., 0, :] if wcorn.ndim == 5 else wcorn
+            )[..., 0, :]  # (NF, Gd, K, 4)
             if mf is not None:
                 wcorn = wcorn * mf[..., None].astype(compute_dtype)
             wfield = jnp.broadcast_to(
-                wcorn[..., None], (hw, gd, k, 4, cg)
-            ).reshape(hw, gd * k * 4 * cg)
+                wcorn[..., None], (n, gd, k, 4, cg)
+            ).reshape(n, gd * k * 4 * cg)
             contrib = jax.lax.dot(
                 v * wfield, w4_mat, preferred_element_type=jnp.float32
             )
             return carry, contrib
 
         if gd == 1 and groups == 1:
-            # Folded path (see w2_mat): weight fields over (HW, K*2C) at
-            # full lane utilization, corner reduction on the MXU.
-            v_l = jnp.take(src, p, axis=0, mode="clip").reshape(hw, k * 2 * cin)
-            v_r = jnp.take(src, p + gd, axis=0, mode="clip").reshape(hw, k * 2 * cin)
-            wy = jnp.concatenate([wy0, wy1], axis=-1)[:, 0]  # (HW, K, 2)
+            v_l = jnp.take(src, p, axis=0, mode="clip").reshape(n, k * 2 * cin)
+            v_r = jnp.take(src, p + gd, axis=0, mode="clip").reshape(n, k * 2 * cin)
+            wy = jnp.concatenate([wy0, wy1], axis=-1)[:, 0]  # (NF, K, 2)
             if mf is not None:
                 wy = wy * mf[:, 0, :, None].astype(compute_dtype)
-            wxl = (wy * wx0[:, 0]).reshape(hw, k, 2, 1)
-            wxr = (wy * wx1[:, 0]).reshape(hw, k, 2, 1)
-            fl = jnp.broadcast_to(wxl, (hw, k, 2, cin)).reshape(hw, k * 2 * cin)
-            fr = jnp.broadcast_to(wxr, (hw, k, 2, cin)).reshape(hw, k * 2 * cin)
+            wxl = (wy * wx0[:, 0]).reshape(n, k, 2, 1)
+            wxr = (wy * wx1[:, 0]).reshape(n, k, 2, 1)
+            fl = jnp.broadcast_to(wxl, (n, k, 2, cin)).reshape(n, k * 2 * cin)
+            fr = jnp.broadcast_to(wxr, (n, k, 2, cin)).reshape(n, k * 2 * cin)
             contrib = jax.lax.dot(
                 v_l * fl, w2_mat, preferred_element_type=jnp.float32
             ) + jax.lax.dot(
@@ -198,37 +227,30 @@ def deform_conv2d_fused(
             )
             return carry, contrib
 
-        if gd == 1:
-            v_l = jnp.take(src, p, axis=0, mode="clip").reshape(hw, gd, k, 2 * cg)
-            v_r = jnp.take(src, p + gd, axis=0, mode="clip").reshape(hw, gd, k, 2 * cg)
-            left = wy0 * v_l[..., :cg] + wy1 * v_l[..., cg:]
-            right = wy0 * v_r[..., :cg] + wy1 * v_r[..., cg:]
-            cols = wx0 * left + wx1 * right  # (HW, Gd, K, cg)
-        else:
-            v = jnp.take(src, p, axis=0, mode="clip").reshape(hw, gd, k, 4 * cg)
+        # General path (conv groups > 1): VPU corner combine + grouped einsum.
+        if gd > 1:
+            v = jnp.take(src, p, axis=0, mode="clip").reshape(n, gd, k, 4 * cg)
             cols = (
                 wy0 * (wx0 * v[..., :cg] + wx1 * v[..., cg : 2 * cg])
                 + wy1 * (wx0 * v[..., 2 * cg : 3 * cg] + wx1 * v[..., 3 * cg :])
             )
+        else:
+            v_l = jnp.take(src, p, axis=0, mode="clip").reshape(n, gd, k, 2 * cg)
+            v_r = jnp.take(src, p + gd, axis=0, mode="clip").reshape(n, gd, k, 2 * cg)
+            left = wy0 * v_l[..., :cg] + wy1 * v_l[..., cg:]
+            right = wy0 * v_r[..., :cg] + wy1 * v_r[..., cg:]
+            cols = wx0 * left + wx1 * right
         if mf is not None:
             cols = cols * mf[..., None].astype(compute_dtype)
-        # -> (HW, K, Gd*cg=Cin): im2col channel order within a tap is the
-        # original Cin order (group-major).
-        cols = cols.transpose(0, 2, 1, 3).reshape(hw, k * cin)
-
-        if groups == 1:
-            contrib = jax.lax.dot(cols, w_mat, preferred_element_type=jnp.float32)
-        else:
-            cols_g = cols.reshape(hw, k, groups, cin_g)
-            w_g = weight.reshape(k, cin_g, groups, cout // groups).astype(compute_dtype)
-            contrib = jnp.einsum(
-                "pkgc,kcgo->pgo", cols_g, w_g, preferred_element_type=jnp.float32
-            ).reshape(hw, cout)
+        cols = cols.transpose(0, 2, 1, 3).reshape(n, k, groups, cin_g)
+        w_g = weight.reshape(k, cin_g, groups, cout // groups).astype(compute_dtype)
+        contrib = jnp.einsum(
+            "pkgc,kcgo->pgo", cols, w_g, preferred_element_type=jnp.float32
+        ).reshape(n, cout)
         return carry, contrib
 
-    xs_frames = x.reshape(b, h * w, cin)
     xs = (xs_frames, offs, masks) if masks is not None else (xs_frames, offs)
-    _, out = jax.lax.scan(jax.checkpoint(frame_body), 0.0, xs)
+    _, out = jax.lax.scan(jax.checkpoint(chunk_body), 0.0, xs)
 
     out = out.reshape(b, ho, wo, cout).astype(x.dtype)
     if bias is not None:
