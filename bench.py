@@ -40,6 +40,11 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    from dynavsr_tpu.utils.util import enable_compilation_cache
+
+    enable_compilation_cache()  # reuse AOT executables across driver reruns
+
     import jax.numpy as jnp
 
     from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
@@ -109,6 +114,9 @@ def main() -> None:
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / PYTORCH_GPU_FPS_ESTIMATE, 3),
+        # The reference publishes no throughput numbers (SURVEY.md §6);
+        # vs_baseline is relative to an UNVERIFIED V100-class estimate.
+        "baseline_kind": "pytorch_gpu_estimate_unverified",
     }
     print(json.dumps(result))
     print(

@@ -34,8 +34,9 @@ def main(argv=None):
     from dynavsr_tpu.eval.harness import score_frames
     from dynavsr_tpu.models.networks import define_G
     from dynavsr_tpu.models.video_base_model import VideoBaseModel
-    from dynavsr_tpu.utils import mkdirs, setup_logger
+    from dynavsr_tpu.utils import enable_compilation_cache, mkdirs, setup_logger
 
+    enable_compilation_cache()
     opt = parse(args.opt, is_train=False)
     mkdirs(opt["path"]["results_root"])
     setup_logger("base", opt["path"]["log"], "test", screen=True, tofile=True)
@@ -109,14 +110,19 @@ def main(argv=None):
             wins = [test_set.clip_frames(c)[
                 all_windows(len(test_set.lq_index.clips[c]), n_frames, padding)]
                 for c in clips]
+            # Pad the clip batch to a multiple of the mesh size so ALL chips
+            # stay engaged (e.g. Vid4's 4 clips on an 8-chip mesh); padded
+            # clips repeat the last one and are never scored.
+            n_dev = int(opt.get("n_devices") or 0)
+            mesh_devs = jax.devices()[: n_dev] if n_dev else jax.devices()
+            mesh = data_mesh(mesh_devs)
+            pad_n = (-len(wins)) % len(mesh_devs)
+            wins = wins + [wins[-1]] * pad_n
             lr_w, adapt_w, lr_c, lens = batch_clips(
                 wins, n_adapt_cfg, n_frames // 2)
             slr_w = est_fwd(est_params, jnp.asarray(adapt_w).reshape(
                 (-1,) + adapt_w.shape[2:]))
             slr_w = slr_w.reshape(adapt_w.shape[:2] + slr_w.shape[1:])
-            n_dev = int(opt.get("n_devices") or 0)
-            mesh = data_mesh(jax.devices()[:n_dev] if n_dev else None) \
-                if len(clips) % max(1, jax.device_count()) == 0 else None
             run_b = make_adapt_and_infer_batched(
                 vsr.netG, cfg, mesh=mesh, apply_fn=padded_apply)
             sr_all, losses_all = run_b(

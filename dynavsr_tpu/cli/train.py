@@ -61,10 +61,17 @@ def main(argv=None):
     from dynavsr_tpu.config import dict2str, parse
     from dynavsr_tpu.data.loader import create_dataloader, create_dataset
     from dynavsr_tpu.models.video_base_model import create_model
-    from dynavsr_tpu.utils import mkdir_and_rename, mkdirs, set_random_seed, setup_logger
+    from dynavsr_tpu.utils import (
+        enable_compilation_cache,
+        mkdir_and_rename,
+        mkdirs,
+        set_random_seed,
+        setup_logger,
+    )
 
     if args.launcher == "jax":
         jax.distributed.initialize()
+    enable_compilation_cache()
 
     opt = parse(args.opt, is_train=True)
     rank0 = jax.process_index() == 0

@@ -125,6 +125,8 @@ def check_resume(opt: Mapping, resume_iter: int) -> None:
     options.py:check_resume [H]): pretrain_model_G is pointed at the
     checkpoint matching the resumed iteration."""
     if opt["path"].get("resume_state"):
+        # save_network writes orbax directories named '<iter>_G' (no
+        # extension) — point at exactly that path.
         opt["path"]["pretrain_model_G"] = osp.join(
-            opt["path"]["models"], f"{resume_iter}_G.ckpt"
+            opt["path"]["models"], f"{resume_iter}_G"
         )

@@ -112,8 +112,8 @@ def convert_state_dict(
                     raise KeyError(f"torch key missing: {key} (for flax {'/'.join(names)})")
                 stack.append(_to_flax(state_dict[key], np.shape(leaf)[1:], is_w))
                 used.add(key)
-            leaves.append(np.stack(stack, axis=0).astype(np.asarray(leaf).dtype
-                          if hasattr(leaf, "dtype") else np.float32))
+            dt = leaf.dtype if hasattr(leaf, "dtype") else np.float32
+            leaves.append(np.stack(stack, axis=0).astype(dt))
             continue
         key, is_w = flax_to_torch_key(names)
         if key not in state_dict:

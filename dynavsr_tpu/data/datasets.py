@@ -131,7 +131,15 @@ class REDSDataset:
         raise IndexError(index)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        rng = random.Random(hash((id(self) & 0xFFFF, index, np.random.randint(1 << 30))))
+        return self.get_item(index)
+
+    def get_item(self, index: int, rng: random.Random = None) -> Dict[str, np.ndarray]:
+        # rng is a pure function of the draw identity (the loader passes one
+        # derived from (seed, epoch, stream position)) so a skip-ahead resume
+        # reproduces bit-identical crops/flips — reference DistIterSampler
+        # determinism [H], extended to augmentation.
+        if rng is None:
+            rng = random.Random(hash(("item", index)))
         clip, center = self._locate(index)
         t = self.lengths[clip]
         interval = rng.choice(self.interval_list)
@@ -234,7 +242,11 @@ class MetaVideoDataset:
         return sum(max(1, l - self.n_frames + 1) for l in self.lengths.values())
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        rng = random.Random(hash((index, np.random.randint(1 << 30))))
+        return self.get_item(index)
+
+    def get_item(self, index: int, rng: random.Random = None) -> Dict[str, np.ndarray]:
+        if rng is None:
+            rng = random.Random(hash(("item", index)))
         clip = rng.choice(self.names)
         t = self.lengths[clip]
         start = rng.randint(0, max(0, t - self.n_frames))

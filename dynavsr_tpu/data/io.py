@@ -64,18 +64,22 @@ def get_image_paths(data_type: str, dataroot: str) -> List[str]:
 
 
 def glob_clip_folders(dataroot: str) -> Dict[str, List[str]]:
-    """Map clip name -> sorted frame paths; a clip is an immediate
-    subdirectory of dataroot containing images (Vid4/REDS4 disk layout)."""
+    """Map clip name -> sorted frame paths; a clip is ANY directory under
+    dataroot that directly contains image files. Handles both the flat
+    Vid4/REDS4 layout (clip = immediate subdirectory) and the nested
+    Vimeo90K septuplet tree (sequences/00001/0266/im{1..7}.png — reference
+    data/Vimeo90K_dataset.py [H]); nested clips are keyed by their
+    dataroot-relative path with '_' separators ('00001_0266', matching the
+    reference's LMDB key convention)."""
     clips: Dict[str, List[str]] = {}
-    for d in sorted(os.listdir(dataroot)):
-        full = osp.join(dataroot, d)
-        if not osp.isdir(full):
-            continue
+    for root, dirs, files in os.walk(dataroot):
+        dirs.sort()
         frames = sorted(
-            osp.join(full, f)
-            for f in os.listdir(full)
-            if f.lower().endswith(_IMG_EXTS)
+            osp.join(root, f) for f in files if f.lower().endswith(_IMG_EXTS)
         )
-        if frames:
-            clips[d] = frames
-    return clips
+        if not frames:
+            continue
+        rel = osp.relpath(root, dataroot)
+        key = osp.basename(osp.abspath(dataroot)) if rel == "." else rel.replace(os.sep, "_")
+        clips[key] = frames
+    return dict(sorted(clips.items()))

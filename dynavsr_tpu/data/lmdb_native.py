@@ -54,6 +54,7 @@ def _lib() -> ctypes.CDLL:
         lib.lmdbr_cursor_close.argtypes = [ctypes.c_void_p]
         lib.lmdbw_open.restype = ctypes.c_void_p
         lib.lmdbw_open.argtypes = [ctypes.c_char_p]
+        lib.lmdbw_put.restype = ctypes.c_int
         lib.lmdbw_put.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_size_t,
@@ -126,7 +127,11 @@ class LmdbWriter:
         self._h = _lib().lmdbw_open(path.encode())
 
     def put(self, key: bytes, value: bytes) -> None:
-        _lib().lmdbw_put(self._h, key, len(key), value, len(value))
+        rc = _lib().lmdbw_put(self._h, key, len(key), value, len(value))
+        if rc != 0:
+            raise ValueError(
+                f"LMDB key too large for one leaf node ({len(key)} bytes)"
+            )
 
     def close(self) -> None:
         if self._h:

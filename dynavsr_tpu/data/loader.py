@@ -16,7 +16,9 @@ device_puts them sharded, overlapping H2D with compute via double-buffer.
 from __future__ import annotations
 
 import queue
+import random
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Mapping, Optional
 
 import numpy as np
@@ -89,9 +91,19 @@ class PrefetchLoader:
     def set_skip_batches(self, n: int) -> None:
         """Deterministic resume skip-ahead (SURVEY.md §5 failure-recovery
         note): the next __iter__ starts at batch n of the epoch so a
-        resumed run sees exactly the batches it would have (indices are a
-        pure function of (seed, epoch)); skipping happens before decode."""
+        resumed run sees exactly the batches it would have — indices AND
+        per-item augmentation RNG are pure functions of
+        (seed, epoch, stream position); skipping happens before decode."""
         self._skip_batches = n
+
+    def _fetch(self, index: int, stream_pos: int):
+        """Decode one item with its position-derived RNG (bit-identical
+        across skip-ahead resume; see set_skip_batches)."""
+        get = getattr(self.dataset, "get_item", None)
+        if get is None:
+            return self.dataset[int(index)]
+        rng = random.Random(hash((self.seed, self.epoch, int(stream_pos))))
+        return get(int(index), rng)
 
     def _index_stream(self) -> np.ndarray:
         n = len(self.dataset)
@@ -112,20 +124,26 @@ class PrefetchLoader:
         stop = threading.Event()
 
         def producer():
+            # cv2 decode releases the GIL, so a thread pool the size of
+            # n_workers parallelizes the per-item fetch within each batch.
             try:
-                for b in range(first, nb):
-                    if stop.is_set():
-                        return
-                    batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                    items = [self.dataset[int(i)] for i in batch_idx]
-                    batch: Dict[str, np.ndarray] = {}
-                    for k in items[0]:
-                        v0 = items[0][k]
-                        if isinstance(v0, np.ndarray):
-                            batch[k] = np.stack([it[k] for it in items], axis=0)
-                        else:
-                            batch[k] = [it[k] for it in items]  # type: ignore[assignment]
-                    out_q.put(batch)
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    for b in range(first, nb):
+                        if stop.is_set():
+                            return
+                        batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                        pos0 = b * self.batch_size
+                        items = list(
+                            ex.map(self._fetch, batch_idx, range(pos0, pos0 + len(batch_idx)))
+                        )
+                        batch: Dict[str, np.ndarray] = {}
+                        for k in items[0]:
+                            v0 = items[0][k]
+                            if isinstance(v0, np.ndarray):
+                                batch[k] = np.stack([it[k] for it in items], axis=0)
+                            else:
+                                batch[k] = [it[k] for it in items]  # type: ignore[assignment]
+                        out_q.put(batch)
             except Exception as e:  # surface worker errors to the consumer
                 out_q.put(e)
             finally:

@@ -62,6 +62,12 @@ class DCNSep(nn.Module):
                      dtype=self.dtype, name="conv_offset_mask")(offset_fea)
         offset = om[..., : 2 * gd * k]
         mask = jax.nn.sigmoid(om[..., 2 * gd * k :])
+        # Reference DCN_sep warns when offset.abs().mean() > 100 — EDVR's
+        # one training-instability detector [H]. Sown here; the train step
+        # surfaces the max over all DCNs as the 'dcn_offset_absmean' metric
+        # (no-op unless 'intermediates' is marked mutable).
+        self.sow("intermediates", "offset_absmean",
+                 jnp.mean(jnp.abs(offset.astype(jnp.float32))))
         weight = self.param(
             "weight", kaiming_scaled(1.0), (3, 3, self.nf, self.nf), jnp.float32
         )

@@ -61,6 +61,8 @@ def trainer_config_from_opt(opt: Mapping) -> TrainerConfig:
         pixel_weight=t.get("pixel_weight") or 1.0,
         criterion=t.get("pixel_criterion") or "cb",
         reduction=t.get("pixel_criterion_reduction") or "mean",
+        weight_decay=float(t.get("weight_decay_G") or t.get("weight_decay") or 0.0),
+        grad_clip=float(t["grad_clip"]) if t.get("grad_clip") else None,
     )
 
 
@@ -104,7 +106,11 @@ class VideoBaseModel:
         tx = make_optimizer(self.cfg)
         self.state = TrainState.create(apply_fn=self.netG.apply, params=params, tx=tx)
         self.state = replicate(self.mesh, self.state)
-        self._train_step = make_train_step(self.netG, self.cfg, mesh=self.mesh, donate=False)
+        self._has_bn = "batch_stats" in params  # TOF/DUF carry BN stats
+        self._train_step = make_train_step(
+            self.netG, self.cfg, mesh=self.mesh, donate=False,
+            has_batch_stats=self._has_bn,
+        )
         self._eval_step = make_eval_step(self.netG, mesh=None)
 
     # -------------------------------------------------- reference interface
@@ -129,6 +135,14 @@ class VideoBaseModel:
         batch = shard_batch(self.mesh, self._batch)
         self.state, metrics = self._train_step(self.state, batch)
         self.log = {k: float(v) for k, v in metrics.items()}
+        off = self.log.get("dcn_offset_absmean", 0.0)
+        if off > 100.0:  # reference dcn/deform_conv.py DCN_sep guard [H]
+            import logging
+
+            logging.getLogger("base").warning(
+                "Offset abs mean is %.1f, larger than 100 — DCN offsets may "
+                "be diverging.", off,
+            )
 
     def test(self) -> None:
         self._fake_H = self._eval_step(self.state.params, jnp.asarray(self._batch["LQs"]))

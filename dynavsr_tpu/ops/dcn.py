@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
+
 from dynavsr_tpu.ops.dcn_fused import deform_conv2d_fused
 from dynavsr_tpu.ops.dcn_ref import deform_conv2d_ref
 

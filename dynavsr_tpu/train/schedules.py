@@ -29,6 +29,11 @@ def cosine_annealing_restart(
     """optax-style schedule fn(count) -> lr."""
     periods = list(periods)
     weights = list(restart_weights or [1.0] * len(periods))
+    if len(weights) == len(periods) - 1:
+        # Reference CosineAnnealingLR_Restart pairs weights with *restarts*
+        # (the first period implicitly runs at weight 1), so ported YAMLs
+        # carry len(periods)-1 weights. Accept both conventions.
+        weights = [1.0] + weights
     if len(weights) != len(periods):
         raise ValueError("restart_weights must match periods")
     starts = np.cumsum([0] + periods[:-1])

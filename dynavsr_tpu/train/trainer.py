@@ -12,7 +12,9 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Mapping, Optional, Tuple
 
+import flax.core
 import jax
+import jax.numpy as jnp
 import optax
 from flax.training import train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -75,26 +77,45 @@ def make_train_step(
     cfg: TrainerConfig,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    has_batch_stats: bool = False,
 ):
     """Returns jitted step(state, batch) -> (state, metrics).
 
     batch: {'LQs': (B, N, h, w, 3), 'GT': (B, H, W, 3)} — exactly the
     reference's feed_data contract [H], NHWC. If `mesh` is given the step is
     compiled with batch sharded over ('data',) and state replicated.
+
+    has_batch_stats: set when the net carries BatchNorm running stats
+    (TOF/SpyNet, DUF — reference Video_base_model trains any define_G output
+    in train() mode [H]). The step then runs the module in train mode with
+    mutable batch_stats and folds the updated stats back into state.params.
+    BN stats receive exactly-zero gradients in train mode (the output
+    depends only on batch statistics), so Adam leaves them untouched and
+    the mutable update is the only writer.
     """
 
     cri_pix = make_pixel_criterion(cfg.criterion, cfg.reduction)
+    m = model.clone(train=True) if has_batch_stats else model
+    muts = ["intermediates"] + (["batch_stats"] if has_batch_stats else [])
 
     def loss_fn(params, batch):
-        pred = model.apply(params, batch["LQs"])
+        pred, upd = m.apply(params, batch["LQs"], mutable=muts)
         l_pix = cfg.pixel_weight * cri_pix(pred, batch["GT"])
-        return l_pix, pred
+        return l_pix, upd
 
     def step(state: TrainState, batch: Mapping[str, jax.Array]):
-        (l_pix, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        (l_pix, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
         new_state = state.apply_gradients(grads=grads)
+        if has_batch_stats:
+            new_state = new_state.replace(
+                params=flax.core.copy(new_state.params, {"batch_stats": upd["batch_stats"]})
+            )
         gnorm = optax.global_norm(grads)
-        return new_state, {"l_pix": l_pix, "grad_norm": gnorm}
+        metrics = {"l_pix": l_pix, "grad_norm": gnorm}
+        inter = jax.tree_util.tree_leaves(upd.get("intermediates", {}))
+        if inter:  # max |offset| mean across all DCNs (reference DCN_sep guard)
+            metrics["dcn_offset_absmean"] = jnp.max(jnp.stack(inter))
+        return new_state, metrics
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())

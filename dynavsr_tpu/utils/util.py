@@ -26,11 +26,31 @@ __all__ = [
     "set_random_seed",
     "get_timestamp",
     "ProgressBar",
+    "enable_compilation_cache",
 ]
 
 
 def get_timestamp() -> str:
     return datetime.now().strftime("%y%m%d-%H%M%S")
+
+
+def enable_compilation_cache(cache_dir: str = None) -> None:
+    """Persistent XLA compilation cache: TPU compiles here route through a
+    remote AOT server at ~30-60 s per executable (CLAUDE.md gotchas), so
+    reusing executables across process restarts saves minutes per run.
+    Call BEFORE the first jit compilation. Safe to call repeatedly."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "DYNAVSR_COMPILATION_CACHE", osp.expanduser("~/.cache/dynavsr_jax")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # cache is an optimization, never fatal
+        logging.getLogger("base").warning("compilation cache disabled: %s", e)
 
 
 def mkdirs(paths) -> None:

@@ -146,12 +146,18 @@ void* lmdbr_open(const char* path) {
     return nullptr;
   }
   // Pick the live meta (larger txnid) out of pages 0 and 1. Page size is
-  // unknown before reading a meta, but metas always start at 0 and 4096.
+  // unknown before reading a meta; meta 0 always starts at byte 0, and
+  // meta 1 sits at the page size RECORDED IN META 0 (fall back to 4096
+  // only when meta 0 is invalid).
   const Meta* m0 = reinterpret_cast<const Meta*>(r->map + PAGEHDRSZ);
-  const Meta* m1 = reinterpret_cast<const Meta*>(r->map + 4096 + PAGEHDRSZ);
   const Meta* live = nullptr;
-  if (m0->mm_magic == MDB_MAGIC) live = m0;
-  if (r->map_size > 4096 + PAGEHDRSZ + sizeof(Meta) && m1->mm_magic == MDB_MAGIC &&
+  size_t ps0 = 4096;
+  if (r->map_size > PAGEHDRSZ + sizeof(Meta) && m0->mm_magic == MDB_MAGIC) {
+    live = m0;
+    if (m0->mm_dbs[0].md_pad) ps0 = m0->mm_dbs[0].md_pad;
+  }
+  const Meta* m1 = reinterpret_cast<const Meta*>(r->map + ps0 + PAGEHDRSZ);
+  if (r->map_size > ps0 + PAGEHDRSZ + sizeof(Meta) && m1->mm_magic == MDB_MAGIC &&
       (!live || m1->mm_txnid > live->mm_txnid))
     live = m1;
   if (!live) {
@@ -309,11 +315,18 @@ void* lmdbw_open(const char* path) {
   return w;
 }
 
-void lmdbw_put(void* h, const uint8_t* key, size_t klen, const uint8_t* val,
-               size_t vlen) {
+// Returns 0 on success, -1 if the key cannot fit in a leaf node: a leaf
+// node (header + key + 8B overflow pgno + 2B ptr slot) must fit on one
+// page, and ksize is a uint16. Rejecting here keeps lmdbw_close's page
+// packing loop safe from overflowing its page buffer on a huge key.
+int lmdbw_put(void* h, const uint8_t* key, size_t klen, const uint8_t* val,
+              size_t vlen) {
   Writer* w = static_cast<Writer*>(h);
+  size_t nsz = ((sizeof(Node) + klen + 8) + 1) & ~size_t(1);
+  if (klen > 0xffff || nsz + 2 > w->psize - PAGEHDRSZ) return -1;
   w->kv.emplace_back(std::string(reinterpret_cast<const char*>(key), klen),
                      std::string(reinterpret_cast<const char*>(val), vlen));
+  return 0;
 }
 
 namespace {

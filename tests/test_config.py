@@ -57,7 +57,7 @@ def test_dict2str_and_check_resume(tmp_path):
     s = dict2str(opt)
     assert "name: x" in s
     check_resume(opt, 5000)
-    assert opt["path"]["pretrain_model_G"].endswith("5000_G.ckpt")
+    assert opt["path"]["pretrain_model_G"].endswith("5000_G")  # orbax dir, no suffix
 
 
 def test_metrics_writer(tmp_path):
@@ -77,3 +77,32 @@ def test_metrics_writer(tmp_path):
     t.tick()
     dt = t.tock()
     assert dt >= 0 and t.throughput(10) > 0
+
+
+def test_shipped_edvr_m_config_builds_schedule_and_trainer():
+    """Regression for ADVICE.md (high): the shipped flagship YAML ports the
+    reference's len(periods)-1 restart-weight convention and must build a
+    working schedule end-to-end, not just parse."""
+    import numpy as np
+    import pytest
+
+    from dynavsr_tpu.models.video_base_model import trainer_config_from_opt
+    from dynavsr_tpu.train.trainer import make_optimizer, make_schedule
+
+    opt = parse(osp.join(REPO, "configs/train/train_EDVR_M_REDS.yml"), is_train=True)
+    cfg = trainer_config_from_opt(opt)
+    sched = make_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(4e-4, rel=1e-4)
+    assert float(sched(150000)) == pytest.approx(4e-4, rel=1e-3)  # weight 1 restarts
+    assert np.isfinite(float(sched(599999)))
+    make_optimizer(cfg)  # must construct
+
+
+def test_check_resume_points_at_orbax_dir(tmp_path):
+    """check_resume must point pretrain_model_G at the '<iter>_G' directory
+    save_network actually writes (ADVICE.md low: no '.ckpt' suffix)."""
+
+    opt = {"path": {"resume_state": str(tmp_path / "5.state"),
+                    "models": str(tmp_path / "models")}}
+    check_resume(opt, 5)
+    assert opt["path"]["pretrain_model_G"].endswith(osp.join("models", "5_G"))

@@ -124,3 +124,17 @@ def test_generate_mod_lr_bic_script(tmp_path):
     lr = cv2.imread(str(tmp_path / "out/LRx4/c/00000000.png"))
     assert gt.shape == (32, 28, 3)   # mod-cropped
     assert lr.shape == (8, 7, 3)
+
+
+def test_writer_rejects_oversized_key(tmp_path):
+    """A key whose leaf node exceeds one page must be rejected up front
+    (ADVICE.md low: it previously overflowed the page buffer)."""
+    import pytest
+
+    from dynavsr_tpu.data.lmdb_native import LmdbWriter
+
+    w = LmdbWriter(str(tmp_path / "big.lmdb"))
+    with pytest.raises(ValueError):
+        w.put(b"k" * 5000, b"v")
+    w.put(b"ok", b"payload")  # normal keys still fine
+    w.close()

@@ -226,3 +226,76 @@ def test_adapt_with_mod_padding_odd_slr():
     assert sr.shape == (4, 144, 176, 3)
     assert losses.shape == (2,)
     assert bool(jnp.isfinite(sr).all()) and bool(jnp.isfinite(losses).all())
+
+
+# -------------------------------------------------- BN nets train (round 2)
+def test_cosine_restart_accepts_reference_weight_convention():
+    # Reference CosineAnnealingLR_Restart pairs weights with restarts:
+    # len(weights) == len(periods) - 1 (first period implicitly weight 1).
+    s = cosine_annealing_restart(1e-3, [100, 100, 100], [0.5, 0.25], eta_min=0.0)
+    assert float(s(0)) == pytest.approx(1e-3, rel=1e-4)
+    assert float(s(100)) == pytest.approx(0.5e-3, rel=1e-4)
+    assert float(s(200)) == pytest.approx(0.25e-3, rel=1e-4)
+    with pytest.raises(ValueError):
+        cosine_annealing_restart(1e-3, [100, 100, 100], [1.0])
+
+
+def test_tof_train_step_updates_bn():
+    """TOF/SpyNet BatchNorm nets must be trainable: the step runs in train
+    mode with mutable batch_stats folded back into the state (reference
+    Video_base_model trains any define_G output [H])."""
+    from dynavsr_tpu.models.tof import TOFlow
+
+    model = TOFlow()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 16, 16, 3))
+    gt = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    cfg = TrainerConfig(lr=1e-3, scheme="constant")
+    state = TrainState.create(apply_fn=model.apply, params=variables,
+                              tx=make_optimizer(cfg))
+    step = make_train_step(model, cfg, donate=False, has_batch_stats=True)
+    losses = []
+    for _ in range(3):
+        state, m = step(state, {"LQs": x, "GT": gt})
+        losses.append(float(m["l_pix"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # running stats moved off their init values (mean 0 / var 1)
+    bn0 = jax.tree_util.tree_leaves(variables["batch_stats"])
+    bn1 = jax.tree_util.tree_leaves(state.params["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(bn0, bn1))
+
+
+def test_duf_train_step_updates_bn():
+    from dynavsr_tpu.models.duf import DUF
+
+    model = DUF(scale=4, dense1_layers=1)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 7, 8, 8, 3))
+    gt = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    cfg = TrainerConfig(lr=1e-3, scheme="constant")
+    state = TrainState.create(apply_fn=model.apply, params=variables,
+                              tx=make_optimizer(cfg))
+    step = make_train_step(model, cfg, donate=False, has_batch_stats=True)
+    state, m = step(state, {"LQs": x, "GT": gt})
+    assert np.isfinite(float(m["l_pix"]))
+    bn0 = jax.tree_util.tree_leaves(variables["batch_stats"])
+    bn1 = jax.tree_util.tree_leaves(state.params["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(bn0, bn1))
+
+
+def test_edvr_train_step_reports_dcn_offset_metric():
+    """The reference DCN_sep warns on offset.abs().mean() > 100; our analog
+    surfaces the max offset magnitude as a train metric."""
+    model = tiny_model()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 8, 8, 3))
+    gt = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    state = tiny_state(model, x)
+    step = make_train_step(model, TrainerConfig(lr=1e-4, scheme="constant"), donate=False)
+    _, m = step(state, {"LQs": x, "GT": gt})
+    assert "dcn_offset_absmean" in m
+    assert np.isfinite(float(m["dcn_offset_absmean"]))
+    # conv_offset_mask is zero-init -> offsets exactly zero at step 1
+    assert float(m["dcn_offset_absmean"]) == pytest.approx(0.0, abs=1e-6)
