@@ -96,7 +96,8 @@ def main():
         slr = jax.random.uniform(ks[1], (8, 5, 36, 44, 3))
         lrc = jax.random.uniform(ks[2], (8, 144, 176, 3))
         params = jax.jit(model.init)(ks[3], lw[:1])
-        run = make_adapt_and_infer(model, AdaptConfig(n_steps=5, infer_chunk=4))
+        # infer_chunk=0 matches bench.py's measured configuration
+        run = make_adapt_and_infer(model, AdaptConfig(n_steps=5, infer_chunk=0))
         sr, _l = run(params, slr, lrc, lw)
         _ = np.asarray(sr[0, 0, :4, 0])
         with jax.profiler.trace(trace_dir):
