@@ -218,6 +218,7 @@ class MetaModel(VideoBaseModel):
     must carry SLR/LR/LR_center/HR_center (see train/meta.py)."""
 
     def __init__(self, opt: Mapping, mesh=None, example_batch=None):
+        from dynavsr_tpu.models.padding import arch_mod, mod_pad_apply
         from dynavsr_tpu.train.meta import MetaConfig, make_meta_train_step
 
         t = opt.get("train") or {}
@@ -228,8 +229,16 @@ class MetaModel(VideoBaseModel):
             first_order=bool(t.get("first_order", False)),
             pixel_weight=t.get("pixel_weight") or 1.0,
         )
+        # Mod-pad both meta forwards: the inner pseudo-task input SLR = LR/s
+        # is generally NOT pyramid-divisible (same fix as the adaptation
+        # CLI; no-op when shapes already divide).
+        mod = arch_mod((opt.get("network_G") or {}).get("which_model_G"))
+        scale = opt.get("scale", 4)
+        padded = lambda p, x: mod_pad_apply(  # noqa: E731
+            lambda xx: self.netG.apply(p, xx), x, mod=mod, scale=scale)
         self._meta_step = make_meta_train_step(
-            self.netG, self.meta_cfg, mesh=self.mesh, donate=False
+            self.netG, self.meta_cfg, mesh=self.mesh, donate=False,
+            apply_fn=padded,
         )
 
     def feed_data(self, data: Mapping, need_GT: bool = True) -> None:

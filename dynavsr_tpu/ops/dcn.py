@@ -5,7 +5,12 @@ models/archs/dcn/deform_conv.py's ModulatedDeformConv / DCN_sep family,
 SURVEY.md §2.2 [H]). Implementations:
   - "fused" (default): memory-lean tap-scan gather-interpolate-matmul
               (ops/dcn_fused.py) — never materializes im2col columns,
-              rematerialized backward; the production path on every backend.
+              rematerialized backward; the production TRAINING path.
+  - "pipelined": identical numerics, serving schedule — the frame scan
+              carries the gathered block so the row-gather of frame i+1
+              overlaps the MXU contraction of frame i, and backward reuses
+              the carried blocks instead of re-gathering. Higher memory
+              (no remat); use for inference + test-time adaptation.
   - "ref":    pure-JAX im2col gather+einsum (ops/dcn_ref.py) — the parity
               oracle; O(B*HW*K*C) memory, test use only.
 Select globally via set_dcn_impl() or per-call via impl=.
@@ -17,15 +22,20 @@ from typing import Optional
 
 import jax
 
-from dynavsr_tpu.ops.dcn_fused import deform_conv2d_fused
+from dynavsr_tpu.ops.dcn_fused import deform_conv2d_fused, deform_conv2d_pipelined
 from dynavsr_tpu.ops.dcn_ref import deform_conv2d_ref
 
 _IMPL = "auto"
+_FNS = {
+    "fused": deform_conv2d_fused,
+    "pipelined": deform_conv2d_pipelined,
+    "ref": deform_conv2d_ref,
+}
 
 
 def set_dcn_impl(impl: str) -> None:
     global _IMPL
-    if impl not in ("auto", "ref", "fused"):
+    if impl not in ("auto",) + tuple(_FNS):
         raise ValueError(f"unknown dcn impl {impl!r}")
     _IMPL = impl
 
@@ -55,7 +65,7 @@ def deform_conv2d(
     weight: HWIO.
     """
     choice = _resolve(impl)
-    fn = deform_conv2d_fused if choice == "fused" else deform_conv2d_ref
+    fn = _FNS[choice]
     return fn(
         x, offset, mask, weight, bias, stride, padding, dilation, groups, deformable_groups
     )

@@ -47,7 +47,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["deform_conv2d_fused", "set_frame_chunk_budget"]
+__all__ = ["deform_conv2d_fused", "deform_conv2d_pipelined", "set_frame_chunk_budget"]
 
 # Frame-chunking budget for the scan (bytes of packed source per step).
 # Chunking small (SLR-scale) frames speeds the standalone op ~2x, but
@@ -65,6 +65,23 @@ def set_frame_chunk_budget(nbytes: int) -> None:
 
 def _out_size(size: int, k: int, stride: int, pad: int, dil: int) -> int:
     return (size + 2 * pad - dil * (k - 1) - 1) // stride + 1
+
+
+def _name_gather(v: jax.Array) -> jax.Array:
+    """Tag the gathered corner block for the save-gather remat policy."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(v, "dcn_gather_v")
+
+
+# Save-gather threshold (bytes of gathered block per scan step). The row
+# gather is the kernel's bottleneck (~2.8 ns/row, vector-load issue-bound);
+# with full remat the backward re-gathers every step. When the per-step
+# block is small (adaptation runs on SLR-scale frames: ~7 MB/frame) we save
+# it instead — measured 10% off the 5-step adaptation segment. At training
+# scale (64x64 LQ: ~19 MB/frame x 40 frames x 4 DCN sites) saving would
+# cost GBs of HBM, so large steps keep the rematerialized backward.
+_SAVE_GATHER_MAX_BYTES = 8 << 20
 
 
 def _pick_chunk(b: int, src_bytes_per_frame: int) -> int:
@@ -196,7 +213,8 @@ def deform_conv2d_fused(
         n = nf
 
         if gd > 1 and groups == 1:
-            v = jnp.take(src, p, axis=0, mode="clip").reshape(n, gd * k * 4 * cg)
+            v = _name_gather(
+                jnp.take(src, p, axis=0, mode="clip").reshape(n, gd * k * 4 * cg))
             wcorn = jnp.stack(
                 [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1
             )[..., 0, :]  # (NF, Gd, K, 4)
@@ -211,8 +229,10 @@ def deform_conv2d_fused(
             return carry, contrib
 
         if gd == 1 and groups == 1:
-            v_l = jnp.take(src, p, axis=0, mode="clip").reshape(n, k * 2 * cin)
-            v_r = jnp.take(src, p + gd, axis=0, mode="clip").reshape(n, k * 2 * cin)
+            v_l = _name_gather(
+                jnp.take(src, p, axis=0, mode="clip").reshape(n, k * 2 * cin))
+            v_r = _name_gather(
+                jnp.take(src, p + gd, axis=0, mode="clip").reshape(n, k * 2 * cin))
             wy = jnp.concatenate([wy0, wy1], axis=-1)[:, 0]  # (NF, K, 2)
             if mf is not None:
                 wy = wy * mf[:, 0, :, None].astype(compute_dtype)
@@ -250,7 +270,168 @@ def deform_conv2d_fused(
         return carry, contrib
 
     xs = (xs_frames, offs, masks) if masks is not None else (xs_frames, offs)
-    _, out = jax.lax.scan(jax.checkpoint(chunk_body), 0.0, xs)
+    v_bytes = nf * (gd * k * 4 * cg if gd > 1 else 2 * k * 2 * cin) * x.dtype.itemsize
+    if groups == 1 and v_bytes <= _SAVE_GATHER_MAX_BYTES:
+        from jax.ad_checkpoint import checkpoint_policies
+
+        body = jax.checkpoint(
+            chunk_body,
+            policy=checkpoint_policies.save_only_these_names("dcn_gather_v"),
+        )
+    else:
+        body = jax.checkpoint(chunk_body)
+    _, out = jax.lax.scan(body, 0.0, xs)
+
+    out = out.reshape(b, ho, wo, cout).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def deform_conv2d_pipelined(
+    x: jax.Array,
+    offset: jax.Array,
+    mask: Optional[jax.Array],
+    weight: jax.Array,
+    bias: Optional[jax.Array] = None,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    deformable_groups: int = 1,
+) -> jax.Array:
+    """Software-pipelined serving variant of deform_conv2d_fused.
+
+    Identical numerics and layout contract; different schedule:
+      * The per-frame scan carries the GATHERED corner block of frame i and
+        consumes it (weight-field multiply + MXU contraction) while gathering
+        frame i+1 — the row-gather (the measured bottleneck, ~2.8 ns/row,
+        vector-load issue-bound) overlaps the VPU/MXU work instead of
+        serializing with it.
+      * No jax.checkpoint: the gathered blocks ride the scan carry, so a
+        backward pass reuses them instead of re-gathering (saves one full
+        gather per frame). Memory is O(frames x HW x Gd*K*4*cg) — fine at
+        adaptation (SLR) and eval scales, NOT for big-batch supervised
+        training; train paths keep deform_conv2d_fused (rematerialized).
+    Use via ops.dcn.set_dcn_impl('pipelined') or impl='pipelined'.
+    """
+    b, h, w, cin = x.shape
+    kh, kw, cin_g, cout = weight.shape
+    k = kh * kw
+    gd = deformable_groups
+    cg = cin // gd
+    if groups != 1:  # general path has no packed-MXU fold to pipeline
+        return deform_conv2d_fused(x, offset, mask, weight, bias, stride,
+                                   padding, dilation, groups, gd)
+    ho = _out_size(h, kh, stride, padding, dilation)
+    wo = _out_size(w, kw, stride, padding, dilation)
+    hw = ho * wo
+    hp, wp = h + 4, w + 4
+
+    oy = (jnp.arange(ho, dtype=jnp.float32) * stride - padding)[:, None]
+    ox = (jnp.arange(wo, dtype=jnp.float32) * stride - padding)[None, :]
+    base_y = jnp.broadcast_to(oy, (ho, wo)).reshape(hw)
+    base_x = jnp.broadcast_to(ox, (ho, wo)).reshape(hw)
+    ty = (jnp.arange(kh, dtype=jnp.float32) * dilation).repeat(kw)
+    tx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) * dilation, kh)
+
+    compute_dtype = x.dtype
+    if gd > 1:
+        wk = weight.reshape(k, gd, cg, cout).transpose(1, 0, 2, 3)
+        w_pipe = jnp.broadcast_to(
+            wk[:, :, None, :, :], (gd, k, 4, cg, cout)
+        ).reshape(gd * k * 4 * cg, cout).astype(compute_dtype)
+    else:
+        wk = weight.reshape(k, cin, cout)
+        w_pipe = jnp.broadcast_to(
+            wk[:, None, :, :], (k, 2, cin, cout)
+        ).reshape(k * 2 * cin, cout).astype(compute_dtype)
+
+    row_stride = wp * gd
+    offs = offset.astype(jnp.float32).reshape(b, hw, gd, k, 2)
+    masks = None if mask is None else mask.reshape(b, hw, gd, k)
+    xf = x.reshape(b, h * w, cin)
+    g_iota = jnp.arange(gd, dtype=jnp.int32)[None, :, None]
+
+    def positions(of):
+        """(hw, gd, k) packed row ids + fp corner weights for one frame."""
+        ys = base_y[:, None, None] + ty[None, None, :] + of[..., 0]
+        xq = base_x[:, None, None] + tx[None, None, :] + of[..., 1]
+        y0 = jnp.floor(ys)
+        x0 = jnp.floor(xq)
+        wy1 = (ys - y0).astype(compute_dtype)[..., None]
+        wx1 = (xq - x0).astype(compute_dtype)[..., None]
+        y0i = jnp.clip(y0.astype(jnp.int32), -2, h + 1)
+        x0i = jnp.clip(x0.astype(jnp.int32), -2, w + 1)
+        p = ((y0i + 2) * wp + (x0i + 2)) * gd + g_iota
+        return p.reshape(-1), wy1, wx1
+
+    def gather_one(xfi, ofi):
+        """Gather the packed corner block(s) of one frame."""
+        xpad = jnp.pad(
+            xfi.reshape(h, w, gd, cg), ((2, 2), (2, 2), (0, 0), (0, 0))
+        ).reshape(hp * wp * gd, cg)
+        p, _, _ = positions(ofi)
+        if gd > 1:
+            src = jnp.concatenate(
+                [xpad,
+                 jnp.roll(xpad, -gd, axis=0),
+                 jnp.roll(xpad, -row_stride, axis=0),
+                 jnp.roll(xpad, -(row_stride + gd), axis=0)], axis=-1)
+            return (jnp.take(src, p, axis=0, mode="clip")
+                    .reshape(hw, gd * k * 4 * cg),)
+        src = jnp.concatenate([xpad, jnp.roll(xpad, -row_stride, axis=0)], axis=-1)
+        v_l = jnp.take(src, p, axis=0, mode="clip").reshape(hw, k * 2 * cin)
+        v_r = jnp.take(src, p + gd, axis=0, mode="clip").reshape(hw, k * 2 * cin)
+        return (v_l, v_r)
+
+    def consume(block, ofi, mfi):
+        """Weight-field multiply + MXU contraction of a gathered block."""
+        _, wy1, wx1 = positions(ofi)
+        wy0 = 1.0 - wy1
+        wx0 = 1.0 - wx1
+        if gd > 1:
+            (v,) = block
+            wcorn = jnp.stack(
+                [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1
+            )[..., 0, :]
+            if mfi is not None:
+                wcorn = wcorn * mfi[..., None].astype(compute_dtype)
+            wfield = jnp.broadcast_to(
+                wcorn[..., None], (hw, gd, k, 4, cg)
+            ).reshape(hw, gd * k * 4 * cg)
+            return jax.lax.dot(v * wfield, w_pipe,
+                               preferred_element_type=jnp.float32)
+        v_l, v_r = block
+        wy = jnp.concatenate([wy0, wy1], axis=-1)[:, 0]
+        if mfi is not None:
+            wy = wy * mfi[:, 0, :, None].astype(compute_dtype)
+        wxl = (wy * wx0[:, 0]).reshape(hw, k, 2, 1)
+        wxr = (wy * wx1[:, 0]).reshape(hw, k, 2, 1)
+        fl = jnp.broadcast_to(wxl, (hw, k, 2, cin)).reshape(hw, k * 2 * cin)
+        fr = jnp.broadcast_to(wxr, (hw, k, 2, cin)).reshape(hw, k * 2 * cin)
+        return jax.lax.dot(v_l * fl, w_pipe, preferred_element_type=jnp.float32) \
+            + jax.lax.dot(v_r * fr, w_pipe, preferred_element_type=jnp.float32)
+
+    # Prologue: gather frame 0; each scan step consumes frame i while
+    # gathering frame i+1 (the final step re-gathers frame 0 — one wasted
+    # gather, kept so every step compiles to the same program).
+    block0 = gather_one(xf[0], offs[0])
+    xf_next = jnp.roll(xf, -1, axis=0)
+    offs_next = jnp.roll(offs, -1, axis=0)
+
+    def body(block, xs_i):
+        if masks is not None:
+            ofi, mfi, xfn, ofn = xs_i
+        else:
+            ofi, xfn, ofn = xs_i
+            mfi = None
+        contrib = consume(block, ofi, mfi)
+        return gather_one(xfn, ofn), contrib
+
+    xs = (offs, masks, xf_next, offs_next) if masks is not None \
+        else (offs, xf_next, offs_next)
+    _, out = jax.lax.scan(body, block0, xs)
 
     out = out.reshape(b, ho, wo, cout).astype(x.dtype)
     if bias is not None:

@@ -37,15 +37,20 @@ class MetaConfig:
     use_remat: bool = True
 
 
-def adapted_params(model, params, slr: jax.Array, lr_center: jax.Array, cfg: MetaConfig):
+def adapted_params(model, params, slr: jax.Array, lr_center: jax.Array,
+                   cfg: MetaConfig, apply_fn=None):
     """Run k inner SGD steps on the (SLR window -> LR center) pseudo-task.
 
     slr: (B, N, h/s, w/s, 3); lr_center: (B, h, w, 3). Returns fast weights
-    (same pytree as params) plus the last inner loss.
+    (same pytree as params) plus the last inner loss. apply_fn overrides
+    model.apply — e.g. a mod-padded apply (models/padding.py) so pyramid
+    nets accept arbitrary SLR sizes (SLR = LR/s is generally not
+    pyramid-divisible).
     """
-    apply = model.apply
+    raw_apply = apply_fn or model.apply
+    apply = raw_apply
     if cfg.use_remat:
-        apply = jax.checkpoint(lambda p, x: model.apply(p, x))
+        apply = jax.checkpoint(lambda p, x: raw_apply(p, x))
 
     def inner_loss(p):
         pred = apply(p, slr)
@@ -63,18 +68,22 @@ def adapted_params(model, params, slr: jax.Array, lr_center: jax.Array, cfg: Met
 
 
 def make_meta_train_step(model, cfg: MetaConfig, mesh: Optional[Mesh] = None,
-                         donate: bool = True):
+                         donate: bool = True, apply_fn=None):
     """jitted meta step(state, batch) -> (state, metrics).
 
     batch: {'SLR': (B,N,h/s,w/s,3), 'LR': (B,N,h,w,3),
             'LR_center': (B,h,w,3), 'HR_center': (B,H,W,3)}.
     The (SLR, LR) pair comes from the degradation pipeline (MFDN output or
     synthetic kernel — the meta step is agnostic, like the reference).
+    apply_fn overrides model.apply for BOTH the inner and outer forwards
+    (e.g. mod-padded apply for pyramid nets).
     """
+    outer_apply = apply_fn or model.apply
 
     def meta_loss(params, batch):
-        fast, inner_l = adapted_params(model, params, batch["SLR"], batch["LR_center"], cfg)
-        pred = model.apply(fast, batch["LR"])
+        fast, inner_l = adapted_params(
+            model, params, batch["SLR"], batch["LR_center"], cfg, apply_fn=apply_fn)
+        pred = outer_apply(fast, batch["LR"])
         outer = cfg.pixel_weight * charbonnier_loss(
             pred, batch["HR_center"], reduction=cfg.reduction)
         return outer, inner_l

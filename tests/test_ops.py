@@ -277,3 +277,67 @@ def test_dcn_fused_grads_match_ref():
         x, offset, mask, weight, bias)
     for a, b_ in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-3)
+
+
+# ------------------------------------------------- pipelined (serving) DCN
+def test_dcn_pipelined_matches_ref():
+    from dynavsr_tpu.ops.dcn_fused import deform_conv2d_pipelined
+
+    rng = np.random.default_rng(11)
+    for groups, gd, stride in [(1, 1, 1), (1, 2, 1), (2, 2, 1), (1, 1, 2)]:
+        b, h, cin, cout = 3, 7, 4, 4
+        w = 6
+        k = 9
+        ho = (h + 2 - 3) // stride + 1
+        wo = (w + 2 - 3) // stride + 1
+        x = jnp.asarray(rng.random((b, h, w, cin)).astype(np.float32))
+        weight = jnp.asarray(
+            (rng.random((3, 3, cin // groups, cout)) - 0.5).astype(np.float32))
+        bias = jnp.asarray(rng.random((cout,)).astype(np.float32))
+        offset = jnp.asarray(
+            ((rng.random((b, ho, wo, 2 * gd * k)) - 0.5) * 4).astype(np.float32))
+        mask = jnp.asarray(rng.random((b, ho, wo, gd * k)).astype(np.float32))
+        ref = deform_conv2d_ref(x, offset, mask, weight, bias, stride=stride,
+                                groups=groups, deformable_groups=gd)
+        pipe = deform_conv2d_pipelined(x, offset, mask, weight, bias,
+                                       stride=stride, groups=groups,
+                                       deformable_groups=gd)
+        np.testing.assert_allclose(np.asarray(pipe), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_dcn_pipelined_grads_match_ref():
+    from dynavsr_tpu.ops.dcn_fused import deform_conv2d_pipelined
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.random((2, 6, 6, 4)).astype(np.float32))
+    weight = jnp.asarray((rng.random((3, 3, 4, 4)) - 0.5).astype(np.float32))
+    bias = jnp.asarray(rng.random((4,)).astype(np.float32))
+    offset = jnp.asarray(
+        ((rng.random((2, 6, 6, 2 * 2 * 9)) - 0.5) * 2).astype(np.float32))
+    mask = jnp.asarray(rng.random((2, 6, 6, 2 * 9)).astype(np.float32))
+
+    def make_loss(fn):
+        def loss(x, offset, mask, weight, bias):
+            return jnp.sum(fn(x, offset, mask, weight, bias,
+                              deformable_groups=2) ** 2)
+        return loss
+
+    g_ref = jax.grad(make_loss(deform_conv2d_ref), argnums=(0, 1, 2, 3, 4))(
+        x, offset, mask, weight, bias)
+    g_pipe = jax.grad(make_loss(deform_conv2d_pipelined), argnums=(0, 1, 2, 3, 4))(
+        x, offset, mask, weight, bias)
+    for a, b_ in zip(g_pipe, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-3)
+
+
+def test_dcn_pipelined_gd1_matches_ref():
+    from dynavsr_tpu.ops.dcn_fused import deform_conv2d_pipelined
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((4, 5, 5, 2)).astype(np.float32))
+    weight = jnp.asarray(rng.random((3, 3, 2, 3)).astype(np.float32))
+    offset = jnp.asarray(((rng.random((4, 5, 5, 18)) - 0.5) * 3).astype(np.float32))
+    ref = deform_conv2d_ref(x, offset, None, weight)
+    pipe = deform_conv2d_pipelined(x, offset, None, weight)
+    np.testing.assert_allclose(np.asarray(pipe), np.asarray(ref), atol=1e-4)

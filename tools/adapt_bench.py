@@ -1,0 +1,121 @@
+"""Segment-level bench for the adapt+infer pipeline (round-2 perf work).
+
+Times the adaptation scan and the sliding-window inference separately at
+the headline bench shapes, under switchable kernel/remat options, so
+optimizations can be attributed. One TPU process at a time!
+
+    python tools/adapt_bench.py [--groups 8] [--steps 5] [--windows 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--groups", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--windows", type=int, default=16)
+    ap.add_argument("--adapt-windows", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--chunk-budget", type=int, default=0,
+                    help="ops.dcn_fused frame-chunk budget in bytes")
+    ap.add_argument("--dcn-impl", default=None,
+                    choices=["ref", "fused", "pipelined"],
+                    help="global DCN impl override")
+    ap.add_argument("--skip", default="", help="comma list: infer,adapt,full")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
+    from dynavsr_tpu.models.edvr import EDVR
+    from dynavsr_tpu.ops.dcn_fused import set_frame_chunk_budget
+    from dynavsr_tpu.utils.util import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.chunk_budget:
+        set_frame_chunk_budget(args.chunk_budget)
+    if args.dcn_impl:
+        from dynavsr_tpu.ops.dcn import set_dcn_impl
+
+        set_dcn_impl(args.dcn_impl)
+    skip = set(filter(None, args.skip.split(",")))
+
+    model = EDVR(nf=64, nframes=5, groups=args.groups, front_RBs=5,
+                 back_RBs=10, dtype=jnp.bfloat16)
+    h, w, scale = 144, 176, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    lw = jax.random.uniform(ks[0], (args.windows, 5, h, w, 3), jnp.float32)
+    slr = jax.random.uniform(ks[1], (args.adapt_windows, 5, h // scale, w // scale, 3))
+    lrc = jax.random.uniform(ks[2], (args.adapt_windows, h, w, 3))
+    params = jax.jit(model.init)(ks[3], lw[:1])
+
+    def fetch(tree):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            np.asarray(jnp.ravel(leaf)[:8])
+
+    def timeit(fn, inputs, label):
+        out = fn(*inputs[0])
+        fetch(out)
+        times = []
+        for inp in inputs[: args.repeats]:
+            t0 = time.perf_counter()
+            out = fn(*inp)
+            fetch(out)
+            times.append(time.perf_counter() - t0)
+        print(f"{label:32s} best {min(times):.3f}s  times "
+              f"{[round(t, 3) for t in times]}", flush=True)
+        return min(times)
+
+    # ---- inference only (one batched forward over all windows)
+    t_inf = t_adapt = t_full = float("nan")
+    fwd = jax.jit(model.apply)
+    infer_inputs = [
+        (params, jax.random.uniform(jax.random.PRNGKey(100 + i), lw.shape))
+        for i in range(args.repeats)
+    ]
+    if "infer" not in skip:
+        t_inf = timeit(fwd, infer_inputs, f"infer {args.windows} windows")
+
+    # ---- adaptation only (scan of fwd+bwd+adam, no inference windows)
+    run1 = make_adapt_and_infer(model, AdaptConfig(n_steps=args.steps, lr=1e-6,
+                                                   infer_chunk=0))
+    one_w = lw[:1]
+    adapt_inputs = [
+        (params,
+         jax.random.uniform(jax.random.PRNGKey(200 + i), slr.shape),
+         lrc, one_w)
+        for i in range(args.repeats)
+    ]
+    if "adapt" not in skip:
+        t_adapt = timeit(run1, adapt_inputs, f"adapt {args.steps} steps (+1 win)")
+
+    # ---- full pipeline (the bench configuration)
+    run = make_adapt_and_infer(model, AdaptConfig(n_steps=args.steps, lr=1e-6,
+                                                  infer_chunk=0))
+    full_inputs = [
+        (params, slr, lrc,
+         jax.random.uniform(jax.random.PRNGKey(300 + i), lw.shape))
+        for i in range(args.repeats)
+    ]
+    if "full" not in skip:
+        t_full = timeit(run, full_inputs, "full adapt+infer")
+
+    per_win = t_inf / args.windows
+    print(f"\nsegments: infer={t_inf:.3f}s ({per_win*1e3:.1f} ms/window), "
+          f"adapt~={t_adapt - per_win:.3f}s, full={t_full:.3f}s "
+          f"-> {args.windows / t_full:.2f} fps", flush=True)
+
+
+if __name__ == "__main__":
+    main()
