@@ -163,14 +163,30 @@ class REDSDataset:
 
 class Vimeo90KDataset(REDSDataset):
     """Vimeo90K septuplets: same pipeline, clips are 7-frame sequences
-    (reference data/Vimeo90K_dataset.py [H]). Folder layout:
-    dataroot/<sequence>/<frame>.png (any nesting via glob)."""
+    (reference data/Vimeo90K_dataset.py [H]). Both the flat and the nested
+    two-level layout (sequences/00001/0266/im*.png) are discovered; nested
+    clips are keyed '00001_0266'. An optional `meta_info_file` (the
+    reference's sep_trainlist.txt convention: one '00001/0266' per line)
+    restricts training to the listed septuplets."""
 
     def __init__(self, opt: Mapping):
         opt = dict(opt)
         opt.setdefault("N_frames", 7)
         super().__init__(opt)
         self.names = self.gt_index.names  # no REDS4 exclusion
+        meta = opt.get("meta_info_file")
+        if meta:
+            with open(meta) as f:
+                keep = {
+                    line.strip().replace("/", "_")
+                    for line in f if line.strip()
+                }
+            self.names = [n for n in self.names if n in keep]
+            if not self.names:
+                raise FileNotFoundError(
+                    f"no clips from {meta} found under {opt['dataroot_GT']}"
+                )
+        self.lengths = {n: len(self.gt_index.clips[n]) for n in self.names}
 
 
 class VideoTestDataset:

@@ -215,3 +215,32 @@ def test_loader_resume_bit_identical_batches(video_tree):
         np.testing.assert_array_equal(got["LQs"], want["LQs"])
         np.testing.assert_array_equal(got["GT"], want["GT"])
         assert got["key"] == want["key"]
+
+
+def test_vimeo90k_meta_info_file(tmp_path):
+    """Reference sep_trainlist.txt convention: meta_info_file restricts the
+    training set to the listed septuplets (data/Vimeo90K_dataset.py [H])."""
+    import cv2
+
+    from dynavsr_tpu.data.datasets import Vimeo90KDataset
+
+    rng = np.random.default_rng(1)
+    for split, size in (("sequences", (32, 48)), ("sequences_lq", (8, 12))):
+        for seq, sub in (("00001", "0266"), ("00001", "0268"), ("00002", "0266")):
+            d = tmp_path / split / seq / sub
+            os.makedirs(d)
+            for i in range(1, 8):
+                img = rng.integers(0, 255, (*size, 3), dtype=np.uint8)
+                cv2.imwrite(str(d / f"im{i}.png"), img)
+    meta = tmp_path / "sep_trainlist.txt"
+    meta.write_text("00001/0266\n00002/0266\n")
+    ds = Vimeo90KDataset({
+        "dataroot_GT": str(tmp_path / "sequences"),
+        "dataroot_LQ": str(tmp_path / "sequences_lq"),
+        "LQ_size": 8, "scale": 4, "phase": "train",
+        "meta_info_file": str(meta),
+    })
+    assert sorted(ds.names) == ["00001_0266", "00002_0266"]
+    assert len(ds) == 14  # 2 clips x 7 frames
+    item = ds[0]
+    assert item["LQs"].shape == (7, 8, 8, 3)
