@@ -129,6 +129,12 @@ def deform_conv2d_fused(
     frame_rows = hp * wp * gd  # packed rows per frame
 
     # Base sampling position (top-left tap) per output pixel, fp32.
+    #
+    # LAYOUT RULE (round-2 profile-driven): every per-sample tensor is kept
+    # 2-D as (rows=pixels, lanes=J=gd*K). Shapes like (px, gd, K[, 1]) get
+    # minor dims of 9/2/1, which TPU tiling pads to 128 lanes — the round-1
+    # kernel spent ~25% of its time in reshape/copy/broadcast churn on such
+    # tensors (measured: 6.65 -> 4.8 ms per L1 frame after this rewrite).
     oy = (jnp.arange(ho, dtype=jnp.float32) * stride - padding)[:, None]
     ox = (jnp.arange(wo, dtype=jnp.float32) * stride - padding)[None, :]
     base_y = jnp.broadcast_to(oy, (ho, wo)).reshape(hw)
@@ -143,40 +149,47 @@ def deform_conv2d_fused(
     base_x = jnp.tile(base_x, fc)
     f_rows = jnp.repeat(
         jnp.arange(fc, dtype=jnp.int32) * frame_rows, hw
-    )[:, None, None]  # (nf, 1, 1)
+    )[:, None]  # (nf, 1)
+    jd = gd * k  # lane count of the 2-D (pixel, J) position/weight tensors
+    ty_j = jnp.tile(ty, gd)[None, :]  # (1, J): col j = g*K + t
+    tx_j = jnp.tile(tx, gd)[None, :]
+    g_j = jnp.repeat(jnp.arange(gd, dtype=jnp.int32), k)[None, :]
 
-    offs = offset.astype(jnp.float32).reshape(nchunk, nf, gd, k, 2)
-    masks = None if mask is None else mask.reshape(nchunk, nf, gd, k)
+    offs2 = offset.astype(jnp.float32).reshape(nchunk, nf, 2 * jd)
+    masks2 = None if mask is None else mask.reshape(nchunk, nf, jd)
     xs_frames = x.reshape(nchunk, fc, h * w, cin)
 
     compute_dtype = x.dtype
-    w_mat = weight.reshape(k * cin_g, cout).astype(compute_dtype)
     w4_mat = w2_mat = None
     if gd > 1 and groups == 1:
-        # 4x corner-expanded weight: rows ordered (gd, k, corner, cg) to
-        # match the gathered-value flatten order; the MXU contraction
-        # performs the corner reduction.
+        # 4x corner-expanded weight, (J, 4*cg, cout): per j = (g, tap) row
+        # block, lanes ordered (corner, cg) to match the packed-source lane
+        # order; a single multi-contraction dot over (J, 4*cg) performs the
+        # corner reduction on the MXU.
         wk = weight.reshape(k, gd, cg, cout).transpose(1, 0, 2, 3)  # (gd,k,cg,o)
         w4_mat = jnp.broadcast_to(
             wk[:, :, None, :, :], (gd, k, 4, cg, cout)
-        ).reshape(gd * k * 4 * cg, cout).astype(compute_dtype)
+        ).reshape(jd, 4 * cg, cout).astype(compute_dtype)
     elif gd == 1 and groups == 1:
         # y-pair-expanded weight (k, ycorner, C, o): each gathered row holds
         # [x(y0,.), x(y1,.)]; two partial matmuls (left/right x-corner)
         # reduce the corners on the MXU instead of the 8-lane VPU path.
+        # y-pair-expanded weight (K, 2*Cin, Cout): each gathered row holds
+        # [x(y0,.), x(y1,.)]; two multi-contraction dots (left/right
+        # x-corner) reduce the corners on the MXU.
         wk = weight.reshape(k, cin, cout)
         w2_mat = jnp.broadcast_to(
             wk[:, None, :, :], (k, 2, cin, cout)
-        ).reshape(k * 2 * cin, cout).astype(compute_dtype)
+        ).reshape(k, 2 * cin, cout).astype(compute_dtype)
 
     row_stride = wp * gd  # rows between (y, x) and (y+1, x) in packed layout
 
     def chunk_body(carry, xs):
-        if masks is not None:
-            xf, of, mf = xs
+        if masks2 is not None:
+            xf, of2, mf2 = xs
         else:
-            xf, of = xs
-            mf = None
+            xf, of2 = xs
+            mf2 = None
         # Packed, padded source for the whole chunk: frame index folds into
         # the row id (each frame's 2px zero ring makes cross-frame rolls
         # contribute zeros, so one roll covers every frame).
@@ -194,74 +207,102 @@ def deform_conv2d_fused(
                  jnp.roll(xpad, -row_stride, axis=0),
                  jnp.roll(xpad, -(row_stride + gd), axis=0)], axis=-1)
 
-        # positions: (NF = fc*HW, Gd, K); +2 shift into the padded frame.
-        ys = base_y[:, None, None] + ty[None, None, :] + of[..., 0]
-        xq = base_x[:, None, None] + tx[None, None, :] + of[..., 1]
+        # positions, all 2-D (NF = fc*HW, J); +2 shift into the padded frame.
+        dy = of2[:, 0::2]
+        dx = of2[:, 1::2]
+        ys = base_y[:, None] + ty_j + dy
+        xq = base_x[:, None] + tx_j + dx
         y0 = jnp.floor(ys)
         x0 = jnp.floor(xq)
-        wy1 = (ys - y0).astype(compute_dtype)[..., None]
-        wx1 = (xq - x0).astype(compute_dtype)[..., None]
+        wy1 = (ys - y0).astype(compute_dtype)
+        wx1 = (xq - x0).astype(compute_dtype)
         wy0 = 1.0 - wy1
         wx0 = 1.0 - wx1
         # Clamp into [-2, size+1]: every truly-outside corner (and its +1
         # neighbor, unless truly inside) lands in the zero ring.
         y0i = jnp.clip(y0.astype(jnp.int32), -2, h + 1)
         x0i = jnp.clip(x0.astype(jnp.int32), -2, w + 1)
-        g_iota = jnp.arange(gd, dtype=jnp.int32)[None, :, None]
-        p = ((y0i + 2) * wp + (x0i + 2)) * gd + g_iota + f_rows  # (NF, Gd, K)
-        p = p.reshape(-1)
+        p = ((y0i + 2) * wp + (x0i + 2)) * gd + g_j + f_rows  # (NF, J)
         n = nf
 
         if gd > 1 and groups == 1:
+            # j-major gather: rows ordered (j, pixel) so the gathered block
+            # reshapes FREE to (J, NF, 4*cg) and the dot contracts (J, 4*cg)
+            # without the (NF*J, 32) -> (NF, J*32) lane repack the n-major
+            # order forces (measured 0.95 ms/frame at L1 scale).
+            pf = p.T.reshape(-1)
             v = _name_gather(
-                jnp.take(src, p, axis=0, mode="clip").reshape(n, gd * k * 4 * cg))
-            wcorn = jnp.stack(
-                [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1
-            )[..., 0, :]  # (NF, Gd, K, 4)
-            if mf is not None:
-                wcorn = wcorn * mf[..., None].astype(compute_dtype)
-            wfield = jnp.broadcast_to(
-                wcorn[..., None], (n, gd, k, 4, cg)
-            ).reshape(n, gd * k * 4 * cg)
-            contrib = jax.lax.dot(
-                v * wfield, w4_mat, preferred_element_type=jnp.float32
+                jnp.take(src, pf, axis=0, mode="clip").reshape(jd, n, 4 * cg))
+            wt0, wt1 = wy0.T, wy1.T  # (J, NF)
+            xt0, xt1 = wx0.T, wx1.T
+            if mf2 is not None:
+                mt = mf2.astype(compute_dtype).T
+                wt0 = wt0 * mt
+                wt1 = wt1 * mt
+            wfield = jnp.concatenate(
+                [jnp.broadcast_to((wt0 * xt0)[..., None], (jd, n, cg)),
+                 jnp.broadcast_to((wt0 * xt1)[..., None], (jd, n, cg)),
+                 jnp.broadcast_to((wt1 * xt0)[..., None], (jd, n, cg)),
+                 jnp.broadcast_to((wt1 * xt1)[..., None], (jd, n, cg))],
+                axis=-1)  # (J, NF, 4*cg), corner-major like the source lanes
+            contrib = jax.lax.dot_general(
+                v * wfield, w4_mat,
+                dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
             return carry, contrib
 
         if gd == 1 and groups == 1:
+            pf = p.T.reshape(-1)  # k-major, same free-reshape trick
             v_l = _name_gather(
-                jnp.take(src, p, axis=0, mode="clip").reshape(n, k * 2 * cin))
+                jnp.take(src, pf, axis=0, mode="clip").reshape(k, n, 2 * cin))
             v_r = _name_gather(
-                jnp.take(src, p + gd, axis=0, mode="clip").reshape(n, k * 2 * cin))
-            wy = jnp.concatenate([wy0, wy1], axis=-1)[:, 0]  # (NF, K, 2)
-            if mf is not None:
-                wy = wy * mf[:, 0, :, None].astype(compute_dtype)
-            wxl = (wy * wx0[:, 0]).reshape(n, k, 2, 1)
-            wxr = (wy * wx1[:, 0]).reshape(n, k, 2, 1)
-            fl = jnp.broadcast_to(wxl, (n, k, 2, cin)).reshape(n, k * 2 * cin)
-            fr = jnp.broadcast_to(wxr, (n, k, 2, cin)).reshape(n, k * 2 * cin)
-            contrib = jax.lax.dot(
-                v_l * fl, w2_mat, preferred_element_type=jnp.float32
-            ) + jax.lax.dot(
-                v_r * fr, w2_mat, preferred_element_type=jnp.float32
+                jnp.take(src, pf + gd, axis=0, mode="clip").reshape(k, n, 2 * cin))
+            wt0, wt1 = wy0.T, wy1.T  # (K, NF)
+            if mf2 is not None:
+                mt = mf2.astype(compute_dtype).T
+                wt0 = wt0 * mt
+                wt1 = wt1 * mt
+            fl = jnp.concatenate(
+                [jnp.broadcast_to((wt0 * wx0.T)[..., None], (k, n, cin)),
+                 jnp.broadcast_to((wt1 * wx0.T)[..., None], (k, n, cin))],
+                axis=-1)
+            fr = jnp.concatenate(
+                [jnp.broadcast_to((wt0 * wx1.T)[..., None], (k, n, cin)),
+                 jnp.broadcast_to((wt1 * wx1.T)[..., None], (k, n, cin))],
+                axis=-1)
+            dn = (((0, 2), (0, 1)), ((), ()))
+            contrib = jax.lax.dot_general(
+                v_l * fl, w2_mat, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                v_r * fr, w2_mat, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
             )
             return carry, contrib
 
-        # General path (conv groups > 1): VPU corner combine + grouped einsum.
+        # General path (conv groups > 1): VPU corner combine + grouped
+        # einsum. Rarely hot (EDVR uses groups=1); keeps the reference
+        # (NF, Gd, K, .) shapes.
+        pg = p.reshape(-1)
+        wy0g = wy0.reshape(n, gd, k, 1)
+        wy1g = wy1.reshape(n, gd, k, 1)
+        wx0g = wx0.reshape(n, gd, k, 1)
+        wx1g = wx1.reshape(n, gd, k, 1)
         if gd > 1:
-            v = jnp.take(src, p, axis=0, mode="clip").reshape(n, gd, k, 4 * cg)
+            v = jnp.take(src, pg, axis=0, mode="clip").reshape(n, gd, k, 4 * cg)
             cols = (
-                wy0 * (wx0 * v[..., :cg] + wx1 * v[..., cg : 2 * cg])
-                + wy1 * (wx0 * v[..., 2 * cg : 3 * cg] + wx1 * v[..., 3 * cg :])
+                wy0g * (wx0g * v[..., :cg] + wx1g * v[..., cg : 2 * cg])
+                + wy1g * (wx0g * v[..., 2 * cg : 3 * cg] + wx1g * v[..., 3 * cg :])
             )
         else:
-            v_l = jnp.take(src, p, axis=0, mode="clip").reshape(n, gd, k, 2 * cg)
-            v_r = jnp.take(src, p + gd, axis=0, mode="clip").reshape(n, gd, k, 2 * cg)
-            left = wy0 * v_l[..., :cg] + wy1 * v_l[..., cg:]
-            right = wy0 * v_r[..., :cg] + wy1 * v_r[..., cg:]
-            cols = wx0 * left + wx1 * right
-        if mf is not None:
-            cols = cols * mf[..., None].astype(compute_dtype)
+            v_l = jnp.take(src, pg, axis=0, mode="clip").reshape(n, gd, k, 2 * cg)
+            v_r = jnp.take(src, pg + gd, axis=0, mode="clip").reshape(n, gd, k, 2 * cg)
+            left = wy0g * v_l[..., :cg] + wy1g * v_l[..., cg:]
+            right = wy0g * v_r[..., :cg] + wy1g * v_r[..., cg:]
+            cols = wx0g * left + wx1g * right
+        if mf2 is not None:
+            cols = cols * mf2.reshape(n, gd, k, 1).astype(compute_dtype)
         cols = cols.transpose(0, 2, 1, 3).reshape(n, k, groups, cin_g)
         w_g = weight.reshape(k, cin_g, groups, cout // groups).astype(compute_dtype)
         contrib = jnp.einsum(
@@ -269,7 +310,7 @@ def deform_conv2d_fused(
         ).reshape(n, cout)
         return carry, contrib
 
-    xs = (xs_frames, offs, masks) if masks is not None else (xs_frames, offs)
+    xs = (xs_frames, offs2, masks2) if masks2 is not None else (xs_frames, offs2)
     v_bytes = nf * (gd * k * 4 * cg if gd > 1 else 2 * k * 2 * cin) * x.dtype.itemsize
     if groups == 1 and v_bytes <= _SAVE_GATHER_MAX_BYTES:
         from jax.ad_checkpoint import checkpoint_policies
