@@ -75,13 +75,14 @@ def _name_gather(v: jax.Array) -> jax.Array:
 
 
 # Save-gather threshold (bytes of gathered block per scan step). The row
-# gather is the kernel's bottleneck (~2.8 ns/row, vector-load issue-bound);
-# with full remat the backward re-gathers every step. When the per-step
-# block is small (adaptation runs on SLR-scale frames: ~7 MB/frame) we save
-# it instead — measured 10% off the 5-step adaptation segment. At training
-# scale (64x64 LQ: ~19 MB/frame x 40 frames x 4 DCN sites) saving would
-# cost GBs of HBM, so large steps keep the rematerialized backward.
-_SAVE_GATHER_MAX_BYTES = 8 << 20
+# gather is the kernel's bottleneck (~1.84 ns/row measured in-kernel,
+# vector-load issue-bound); with full remat the backward re-gathers every
+# step. When the per-step block is modest we save it instead — measured
+# 10% off the 5-step adaptation segment (~7 MB SLR blocks) and ~3% off the
+# EDVR-M supervised step (19 MB blocks at 64x64 LQ, batch 8 fits a 16 GB
+# chip). EDVR-L training blocks (38 MB) and anything larger keep the fully
+# rematerialized backward (memory).
+_SAVE_GATHER_MAX_BYTES = 24 << 20
 
 
 def _pick_chunk(b: int, src_bytes_per_frame: int) -> int:
