@@ -69,11 +69,26 @@ def main(argv=None):
     )
     # Mod-pad both the SLR pseudo-task inputs and the LR inference windows:
     # SLR = LR/4 is generally NOT pyramid-divisible (e.g. 9x11 on Vid4).
+    # TOF consumes bicubically PRE-UPSCALED frames (TOF_arch [H]) — both the
+    # adaptation pseudo-task (SLR window -> LR center) and inference windows
+    # get the same x`scale` bicubic front-end, mirroring make_infer_fn.
     from dynavsr_tpu.models.padding import arch_mod, mod_pad_apply
 
-    mod = arch_mod((opt["network_G"] or {}).get("which_model_G"))
-    padded_apply = lambda p, x: mod_pad_apply(  # noqa: E731
-        lambda xx: vsr.netG.apply(p, xx), x, mod=mod, scale=scale)
+    which = (opt["network_G"] or {}).get("which_model_G")
+    if which == "TOF":
+        from dynavsr_tpu.data.resize import imresize_batched
+
+        def padded_apply(p, x):
+            b, n, h, w, c = x.shape
+            up = imresize_batched(x.reshape(b * n, h, w, c), float(scale))
+            up = up.reshape(b, n, h * scale, w * scale, c)
+            return mod_pad_apply(
+                lambda xx: vsr.netG.apply(p, xx), up,
+                mod=arch_mod("TOF"), scale=1)
+    else:
+        mod = arch_mod(which)
+        padded_apply = lambda p, x: mod_pad_apply(  # noqa: E731
+            lambda xx: vsr.netG.apply(p, xx), x, mod=mod, scale=scale)
     run = make_adapt_and_infer(vsr.netG, cfg, apply_fn=padded_apply)
 
     results = {}

@@ -214,3 +214,71 @@ def test_meta_train_with_estimator_cli(workdir, monkeypatch):
     """))
     monkeypatch.chdir(workdir)
     assert train_cli.main(["-opt", str(yml)]) == 2
+
+
+DYNAVSR_YML = """
+name: tiny_dynavsr_{tag}
+model: video_base
+scale: 4
+datasets:
+  test:
+    name: tinyset
+    mode: video_test
+    dataroot_GT: {gt}
+    dataroot_LQ: {lq}
+    N_frames: {nframes}
+    padding: reflection
+    cache_data: true
+{netg}
+network_E:
+  which_model_G: MFDN
+  nf: 8
+path: {{}}
+adapt:
+  n_steps: 2
+  lr: !!float 1e-5
+  n_windows: 2
+eval:
+  crop_border: 0
+  ycbcr: false
+"""
+
+EDVR_NETG = """network_G:
+  which_model_G: EDVR
+  nf: 8
+  nframes: 3
+  groups: 2
+  front_RBs: 1
+  back_RBs: 1"""
+
+TOF_NETG = """network_G:
+  which_model_G: TOF
+  nframes: 3"""
+
+DUF_NETG = """network_G:
+  which_model_G: DUF_16L
+  nframes: 7"""
+
+
+@pytest.mark.parametrize(
+    "tag,netg,nframes",
+    [("edvr", EDVR_NETG, 3), ("tof", TOF_NETG, 3), ("duf", DUF_NETG, 7)],
+)
+def test_dynavsr_adaptation_cli(workdir, monkeypatch, tag, netg, nframes):
+    """The DynaVSR product CLI (SURVEY.md §3.4) end-to-end on every VSR
+    backbone the reference adapts: MFDN degradation estimate -> k adaptation
+    steps on the (SLR -> LR) pseudo-task -> sliding-window inference ->
+    per-clip PSNR. TOF exercises the pre-upscaled-input convention and
+    BN-carrying params; DUF the 3D-conv/dynamic-filter path."""
+    from dynavsr_tpu.cli import test_dynavsr as td_cli
+
+    yml = workdir / f"dynavsr_{tag}.yml"
+    yml.write_text(DYNAVSR_YML.format(
+        tag=tag, gt=workdir / "GT", lq=workdir / "LQ",
+        netg=netg, nframes=nframes))
+    monkeypatch.chdir(workdir)
+    results = td_cli.main(["-opt", str(yml), "--no-save-images"])
+    assert np.isfinite(results["_avg"]["psnr_avg"])
+    for clip in ("clipA", "clipB"):
+        assert len(results[clip]["psnr"]) == 12
+        assert np.all(np.isfinite(results[clip]["adapt_losses"]))
