@@ -97,6 +97,11 @@ class TOFlow(nn.Module):
         ref = xn[:, center]
 
         spynet = SpyNet(train=self.train, dtype=self.dtype, name="spynet")
+        # NOTE: neighbors are flowed/warped SEQUENTIALLY on purpose. Folding
+        # the T-1 neighbors into the batch (the EDVR PCD trick) was measured
+        # 2.4x SLOWER here at x4 Vid4 serving shapes: the packed warp's
+        # gather source grows 6x and spills VMEM, hitting the ~12x
+        # HBM-gather penalty (same effect as dcn_fused's frame chunking).
         warped = []
         for i in range(t):
             if i == center:
