@@ -61,11 +61,14 @@ def main(argv=None):
     est_fwd = jax.jit(estimator.apply)
 
     a = opt.get("adapt") or {}
+    ic = a.get("infer_chunk")
     cfg = AdaptConfig(
         n_steps=int(a.get("n_steps") or 5),
         lr=float(a.get("lr") or 1e-6),
         optimizer=a.get("optimizer") or "adam",
-        infer_chunk=int(a.get("infer_chunk") or 8),
+        # 0 = single-batch inference (the fastest measured mode) — must not
+        # fall through the `or` default.
+        infer_chunk=8 if ic is None else int(ic),
     )
     # Mod-pad both the SLR pseudo-task inputs and the LR inference windows:
     # SLR = LR/4 is generally NOT pyramid-divisible (e.g. 9x11 on Vid4).
@@ -75,7 +78,13 @@ def main(argv=None):
     from dynavsr_tpu.models.padding import arch_mod, mod_pad_apply
 
     which = (opt["network_G"] or {}).get("which_model_G")
-    if which == "TOF":
+    if which == "TOF" and getattr(vsr.netG, "pre_upscale", False):
+        # Bicubic front-end inside the module: raw-LR contract, SpyNet's /8
+        # divisibility maps to mod 8/scale on the LR input.
+        mod = -(-8 // scale)
+        padded_apply = lambda p, x: mod_pad_apply(  # noqa: E731
+            lambda xx: vsr.netG.apply(p, xx), x, mod=mod, scale=scale)
+    elif which == "TOF":
         from dynavsr_tpu.data.resize import imresize_batched
 
         def padded_apply(p, x):

@@ -51,7 +51,8 @@ def define_G(opt: Mapping[str, Any]):
             dtype=dt,
         )
     if which == "TOF":
-        return TOFlow(dtype=dt)
+        return TOFlow(dtype=dt, scale=scale,
+                      pre_upscale=bool(opt_net.get("pre_upscale")))
     if which == "DUF_16L":
         return DUF(scale=scale, dense1_layers=3, dtype=dt)
     if which == "DUF_28L":

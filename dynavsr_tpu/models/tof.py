@@ -82,13 +82,29 @@ class TOFlow(nn.Module):
 
     x: (B, 7, H, W, 3) *bicubically pre-upscaled* frames in [0, 1].
     Returns the refined center frame (B, H, W, 3).
+
+    pre_upscale=True folds the bicubic x`scale` front-end INTO the module
+    (identical params and numerics — imresize is parameter-free), so TOF
+    consumes raw LR under the same contract as EDVR/DUF and every pipeline
+    leg (supervised train step, MAML meta step, test-time adaptation,
+    eval) works unmodified. The reference keeps the upscale in its data
+    pipeline instead (TOF_arch [M]); set network_G.pre_upscale in YAML.
     """
 
     train: bool = False
     dtype: Any = None
+    pre_upscale: bool = False
+    scale: int = 4
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.pre_upscale:
+            from dynavsr_tpu.data.resize import imresize_batched
+
+            b0, t0, h0, w0, c0 = x.shape
+            up = imresize_batched(
+                x.reshape(b0 * t0, h0, w0, c0), float(self.scale))
+            x = up.reshape(b0, t0, h0 * self.scale, w0 * self.scale, c0)
         b, t, h, w, c = x.shape
         center = t // 2
         mean = jnp.asarray(_MEAN, x.dtype)

@@ -157,6 +157,11 @@ class VideoBaseModel:
 
         which = (self.opt.get("network_G") or {}).get("which_model_G")
         scale = self.opt.get("scale", 4)
+        if which == "TOF" and getattr(self.netG, "pre_upscale", False):
+            # The bicubic front-end lives inside the module; raw-LR contract.
+            return lambda w: mod_pad_apply(
+                lambda x: self._eval_step(self.state.params, x),
+                jnp.asarray(w), mod=-(-8 // scale), scale=scale)
         if which == "TOF":
             from dynavsr_tpu.data.resize import imresize_batched
 

@@ -255,6 +255,11 @@ TOF_NETG = """network_G:
   which_model_G: TOF
   nframes: 3"""
 
+TOF_RAW_NETG = """network_G:
+  which_model_G: TOF
+  nframes: 3
+  pre_upscale: true"""
+
 DUF_NETG = """network_G:
   which_model_G: DUF_16L
   nframes: 7"""
@@ -262,7 +267,8 @@ DUF_NETG = """network_G:
 
 @pytest.mark.parametrize(
     "tag,netg,nframes",
-    [("edvr", EDVR_NETG, 3), ("tof", TOF_NETG, 3), ("duf", DUF_NETG, 7)],
+    [("edvr", EDVR_NETG, 3), ("tof", TOF_NETG, 3),
+     ("tofraw", TOF_RAW_NETG, 3), ("duf", DUF_NETG, 7)],
 )
 def test_dynavsr_adaptation_cli(workdir, monkeypatch, tag, netg, nframes):
     """The DynaVSR product CLI (SURVEY.md §3.4) end-to-end on every VSR

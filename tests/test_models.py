@@ -154,3 +154,28 @@ def test_edvr_mod_pad_apply_odd_sizes():
     out = mod_pad_apply(lambda xx: model.apply(params, xx), x9, mod=4, scale=4)
     assert out.shape == (1, 36, 44, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_tof_pre_upscale_equivalence():
+    """TOFlow(pre_upscale=True) on raw LR must match external bicubic
+    upscale + TOFlow(pre_upscale=False) with the SAME params (the front-end
+    is parameter-free, so checkpoints are interchangeable)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynavsr_tpu.data.resize import imresize_batched
+    from dynavsr_tpu.models.tof import TOFlow
+
+    lr = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 8, 12, 3))
+    tof_raw = TOFlow(pre_upscale=True, scale=4)
+    tof_up = TOFlow(pre_upscale=False)
+    params = tof_raw.init(jax.random.PRNGKey(1), lr)
+    b, t, h, w, c = lr.shape
+    up = imresize_batched(lr.reshape(b * t, h, w, c), 4.0)
+    up = up.reshape(b, t, h * 4, w * 4, c)
+    out_raw = tof_raw.apply(params, lr)
+    out_up = tof_up.apply(params, up)
+    assert out_raw.shape == (1, 32, 48, 3)
+    np.testing.assert_allclose(
+        np.asarray(out_raw), np.asarray(out_up), atol=1e-6)

@@ -88,6 +88,8 @@ def main():
     ap.add_argument("--adapt-lrs", type=float, nargs="+",
                     default=[1e-6, 1e-5, 1e-4])
     ap.add_argument("--nf", type=int, default=32)
+    ap.add_argument("--arch", default="edvr", choices=["edvr", "tof"],
+                    help="VSR backbone (the paper adapts EDVR/TOF/DUF)")
     ap.add_argument("--root", default=None, help="reuse an existing run dir")
     args = ap.parse_args()
 
@@ -103,14 +105,21 @@ def main():
         make_data(data, args.sigma)
     print(f"run dir: {root}", flush=True)
 
-    net_g = {"which_model_G": "EDVR", "nf": args.nf, "nframes": 5, "groups": 8,
-             "front_RBs": 2, "back_RBs": 3, "dtype": "bfloat16"}
+    if args.arch == "tof":
+        # raw-LR contract via the module-internal bicubic front-end
+        net_g = {"which_model_G": "TOF", "pre_upscale": True, "nframes": 5,
+                 "dtype": "bfloat16"}
+    else:
+        net_g = {"which_model_G": "EDVR", "nf": args.nf, "nframes": 5,
+                 "groups": 8, "front_RBs": 2, "back_RBs": 3,
+                 "dtype": "bfloat16"}
+    vsr_name = f"vsr_{args.arch}"
 
-    # ---- 1) supervised EDVR on bicubic LR
-    vsr_ckpt = f"{root}/experiments/vsr/models/{args.iters}_G"
+    # ---- 1) supervised VSR on bicubic LR
+    vsr_ckpt = f"{root}/experiments/{vsr_name}/models/{args.iters}_G"
     if not osp.exists(vsr_ckpt):
         _write_yml(f"{root}/train_vsr.yml", {
-            "name": "vsr", "model": "video_base", "scale": 4,
+            "name": vsr_name, "model": "video_base", "scale": 4,
             "path": {"root": root},
             "datasets": {"train": {
                 "name": "synth", "mode": "REDS",
@@ -193,10 +202,10 @@ def main():
     # estimator in the loop (the paper's full recipe) before adapting.
     adapt_init_ckpt = vsr_ckpt
     if args.meta_iters > 0:
-        meta_ckpt = f"{root}/experiments/meta/models/{args.meta_iters}_G"
+        meta_ckpt = f"{root}/experiments/meta_{args.arch}/models/{args.meta_iters}_G"
         if not osp.exists(meta_ckpt):
             _write_yml(f"{root}/train_meta.yml", {
-                "name": "meta", "model": "video_meta", "scale": 4,
+                "name": f"meta_{args.arch}", "model": "video_meta", "scale": 4,
                 "path": {"root": root, "pretrain_model_G": vsr_ckpt,
                          "pretrain_model_E": mfdn_ckpt},
                 "datasets": {"train": {
@@ -246,6 +255,7 @@ def main():
 
     gain = best[1] - psnr_gauss
     print(json.dumps({
+        "arch": args.arch,
         "sigma": args.sigma,
         "meta_iters": args.meta_iters,
         "mfdn_rmse_vs_true_slr": round(mfdn_rmse, 5),
