@@ -10,6 +10,13 @@ embarrassingly parallel across chips (shard the clip batch over the
 ('data',) mesh, or vmap small clips). This replaces the reference's serial
 per-GPU Python loop and is where the ">= 5x frames/sec/chip with
 adaptation" target comes from (BASELINE.json).
+
+BatchNorm nets (TOF/DUF): `params` here is the full variables dict, so the
+adaptation gradient flows into BN scale/bias AND the running statistics
+(eval-mode BN uses them in the forward, so they receive real gradients).
+Adapting normalization statistics to the test clip is standard test-time-
+adaptation practice; the torch reference optimizes all parameters of the
+module in train() mode, which moves the same quantities.
 """
 
 from __future__ import annotations
