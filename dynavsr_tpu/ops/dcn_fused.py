@@ -172,9 +172,6 @@ def deform_conv2d_fused(
             wk[:, :, None, :, :], (gd, k, 4, cg, cout)
         ).reshape(jd, 4 * cg, cout).astype(compute_dtype)
     elif gd == 1 and groups == 1:
-        # y-pair-expanded weight (k, ycorner, C, o): each gathered row holds
-        # [x(y0,.), x(y1,.)]; two partial matmuls (left/right x-corner)
-        # reduce the corners on the MXU instead of the 8-lane VPU path.
         # y-pair-expanded weight (K, 2*Cin, Cout): each gathered row holds
         # [x(y0,.), x(y1,.)]; two multi-contraction dots (left/right
         # x-corner) reduce the corners on the MXU.
