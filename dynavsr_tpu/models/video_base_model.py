@@ -237,8 +237,11 @@ class MetaModel(VideoBaseModel):
         # Mod-pad both meta forwards: the inner pseudo-task input SLR = LR/s
         # is generally NOT pyramid-divisible (same fix as the adaptation
         # CLI; no-op when shapes already divide).
-        mod = arch_mod((opt.get("network_G") or {}).get("which_model_G"))
+        which = (opt.get("network_G") or {}).get("which_model_G")
         scale = opt.get("scale", 4)
+        mod = arch_mod(which)
+        if which == "TOF" and getattr(self.netG, "pre_upscale", False):
+            mod = -(-8 // scale)  # SpyNet /8 maps to 8/scale on raw LR input
         padded = lambda p, x: mod_pad_apply(  # noqa: E731
             lambda xx: self.netG.apply(p, xx), x, mod=mod, scale=scale)
         self._meta_step = make_meta_train_step(
