@@ -88,7 +88,7 @@ def main():
     ap.add_argument("--adapt-lrs", type=float, nargs="+",
                     default=[1e-6, 1e-5, 1e-4])
     ap.add_argument("--nf", type=int, default=32)
-    ap.add_argument("--arch", default="edvr", choices=["edvr", "tof"],
+    ap.add_argument("--arch", default="edvr", choices=["edvr", "tof", "duf"],
                     help="VSR backbone (the paper adapts EDVR/TOF/DUF)")
     ap.add_argument("--root", default=None, help="reuse an existing run dir")
     args = ap.parse_args()
@@ -109,6 +109,8 @@ def main():
         # raw-LR contract via the module-internal bicubic front-end
         net_g = {"which_model_G": "TOF", "pre_upscale": True, "nframes": 5,
                  "dtype": "bfloat16"}
+    elif args.arch == "duf":
+        net_g = {"which_model_G": "DUF_16L", "nframes": 5, "dtype": "bfloat16"}
     else:
         net_g = {"which_model_G": "EDVR", "nf": args.nf, "nframes": 5,
                  "groups": 8, "front_RBs": 2, "back_RBs": 3,
