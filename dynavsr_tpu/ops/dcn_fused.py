@@ -341,6 +341,13 @@ def deform_conv2d_pipelined(
 ) -> jax.Array:
     """Software-pipelined serving variant of deform_conv2d_fused.
 
+    STATUS (round 2): superseded for every measured workload — the default
+    kernel's save-gather remat policy captures the backward re-gather win
+    without the carried block's HBM round-trip, and the j-major layout
+    rewrite was applied only to the default path. Kept selectable (with
+    full parity tests) as the documented record of the scheduling
+    experiment; see ROOFLINE.md.
+
     Identical numerics and layout contract; different schedule:
       * The per-frame scan carries the GATHERED corner block of frame i and
         consumes it (weight-field multiply + MXU contraction) while gathering
