@@ -110,12 +110,14 @@ def main():
         net_g = {"which_model_G": "TOF", "pre_upscale": True, "nframes": 5,
                  "dtype": "bfloat16"}
     elif args.arch == "duf":
-        net_g = {"which_model_G": "DUF_16L", "nframes": 5, "dtype": "bfloat16"}
+        # DUF's valid temporal 3D convs need the full 7-frame window
+        net_g = {"which_model_G": "DUF_16L", "nframes": 7, "dtype": "bfloat16"}
     else:
         net_g = {"which_model_G": "EDVR", "nf": args.nf, "nframes": 5,
                  "groups": 8, "front_RBs": 2, "back_RBs": 3,
                  "dtype": "bfloat16"}
     vsr_name = f"vsr_{args.arch}"
+    n_frames = int(net_g.get("nframes", 5))
 
     # ---- 1) supervised VSR on bicubic LR
     vsr_ckpt = f"{root}/experiments/{vsr_name}/models/{args.iters}_G"
@@ -127,7 +129,7 @@ def main():
                 "name": "synth", "mode": "REDS",
                 "dataroot_GT": f"{data}/train/GT",
                 "dataroot_LQ": f"{data}/train/LQ_bic",
-                "N_frames": 5, "LQ_size": 16, "batch_size": 8, "n_workers": 2,
+                "N_frames": n_frames, "LQ_size": 16, "batch_size": 8, "n_workers": 2,
                 "use_shuffle": True}},
             "network_G": net_g,
             "train": {"lr_G": 2.0e-4, "lr_scheme": "constant",
@@ -139,15 +141,17 @@ def main():
     assert osp.exists(vsr_ckpt), vsr_ckpt
 
     # ---- 2) MFDN on random-kernel degradations (covers the blind sigma)
-    mfdn_ckpt = f"{root}/experiments/mfdn/models/{args.mfdn_iters}_G"
+    # MFDN concatenates frames along channels -> its params are N-frame
+    # specific; train one per window length (7 for DUF, 5 otherwise).
+    mfdn_ckpt = f"{root}/experiments/mfdn_n{n_frames}/models/{args.mfdn_iters}_G"
     if not osp.exists(mfdn_ckpt):
         _write_yml(f"{root}/train_mfdn.yml", {
-            "name": "mfdn", "model": "downscaler", "scale": 4,
+            "name": f"mfdn_n{n_frames}", "model": "downscaler", "scale": 4,
             "path": {"root": root},
             "datasets": {"train": {
                 "name": "synth_meta", "mode": "meta",
                 "dataroot_GT": f"{data}/train/GT",
-                "N_frames": 5, "GT_size": 64, "batch_size": 8, "n_workers": 2,
+                "N_frames": n_frames, "GT_size": 64, "batch_size": 8, "n_workers": 2,
                 "use_shuffle": True}},
             "network_G": {"which_model_G": "MFDN", "nf": 64},
             "train": {"lr_G": 1.0e-4, "lr_scheme": "constant",
@@ -167,7 +171,7 @@ def main():
                 "name": name, "mode": "video_test",
                 "dataroot_GT": f"{data}/val/GT",
                 "dataroot_LQ": f"{data}/val/{lq_leg}",
-                "N_frames": 5, "padding": "reflection"}},
+                "N_frames": n_frames, "padding": "reflection"}},
             "network_G": net_g,
             "eval": {"ycbcr": True, "crop_border": 4},
         }
@@ -184,7 +188,7 @@ def main():
     from dynavsr_tpu.train.checkpoint import load_network
 
     clips_g = glob_clip_folders(f"{data}/val/LQ_gauss")
-    lr_val = read_img_seq(next(iter(clips_g.values()))[:5])[None]  # (1,5,h,w,3)
+    lr_val = read_img_seq(next(iter(clips_g.values()))[:n_frames])[None]
     k_true = isotropic_kernel(13, args.sigma)
     slr_true = np.asarray(blur_downsample(jnp.asarray(lr_val), k_true, 4))
     mfdn = define_G({"scale": 4, "network_G": {"which_model_G": "MFDN", "nf": 64}})
@@ -213,7 +217,7 @@ def main():
                 "datasets": {"train": {
                     "name": "synth_meta", "mode": "meta",
                     "dataroot_GT": f"{data}/train/GT",
-                    "N_frames": 5, "GT_size": 64, "batch_size": 4,
+                    "N_frames": n_frames, "GT_size": 64, "batch_size": 4,
                     "n_workers": 2, "use_shuffle": True}},
                 "network_G": net_g,
                 "network_E": {"which_model_G": "MFDN", "nf": 64},
