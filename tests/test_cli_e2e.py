@@ -231,7 +231,7 @@ datasets:
     cache_data: true
 {netg}
 network_E:
-  which_model_G: MFDN
+  which_model_G: {est}
   nf: 8
 path: {{}}
 adapt:
@@ -268,7 +268,8 @@ DUF_NETG = """network_G:
 @pytest.mark.parametrize(
     "tag,netg,nframes",
     [("edvr", EDVR_NETG, 3), ("tof", TOF_NETG, 3),
-     ("tofraw", TOF_RAW_NETG, 3), ("duf", DUF_NETG, 7)],
+     ("tofraw", TOF_RAW_NETG, 3), ("duf", DUF_NETG, 7),
+     ("sfdn", EDVR_NETG, 3)],
 )
 def test_dynavsr_adaptation_cli(workdir, monkeypatch, tag, netg, nframes):
     """The DynaVSR product CLI (SURVEY.md §3.4) end-to-end on every VSR
@@ -281,7 +282,7 @@ def test_dynavsr_adaptation_cli(workdir, monkeypatch, tag, netg, nframes):
     yml = workdir / f"dynavsr_{tag}.yml"
     yml.write_text(DYNAVSR_YML.format(
         tag=tag, gt=workdir / "GT", lq=workdir / "LQ",
-        netg=netg, nframes=nframes))
+        netg=netg, nframes=nframes, est="SFDN" if tag == "sfdn" else "MFDN"))
     monkeypatch.chdir(workdir)
     results = td_cli.main(["-opt", str(yml), "--no-save-images"])
     assert np.isfinite(results["_avg"]["psnr_avg"])
