@@ -106,3 +106,26 @@ def test_check_resume_points_at_orbax_dir(tmp_path):
                     "models": str(tmp_path / "models")}}
     check_resume(opt, 5)
     assert opt["path"]["pretrain_model_G"].endswith(osp.join("models", "5_G"))
+
+
+def test_all_shipped_configs_build(tmp_path):
+    """Every YAML in configs/ must parse, build its lr schedule, and
+    resolve its network_G through define_G (catches the round-1 failure
+    where a shipped config crashed at startup on schedule construction)."""
+    import glob
+
+    from dynavsr_tpu.models.networks import define_G
+    from dynavsr_tpu.models.video_base_model import trainer_config_from_opt
+    from dynavsr_tpu.train.trainer import make_schedule
+
+    train_ymls = sorted(glob.glob(osp.join(REPO, "configs/train/*.yml")))
+    test_ymls = sorted(glob.glob(osp.join(REPO, "configs/test/*.yml")))
+    assert train_ymls and test_ymls
+    for yml in train_ymls:
+        opt = parse(yml, is_train=True, root=str(tmp_path))
+        sched = make_schedule(trainer_config_from_opt(opt))
+        assert sched(0) > 0
+        assert define_G(opt) is not None
+    for yml in test_ymls:
+        opt = parse(yml, is_train=False, root=str(tmp_path))
+        assert define_G(opt) is not None
