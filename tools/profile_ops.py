@@ -50,7 +50,7 @@ def top_ops(trace_dir: str, top: int = 15):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="edvr_fwd",
-                    choices=["edvr_fwd", "dcn", "adapt"])
+                    choices=["edvr_fwd", "dcn", "adapt", "tof", "duf"])
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--groups", type=int, default=8)
     args = ap.parse_args()
@@ -86,6 +86,28 @@ def main():
         with jax.profiler.trace(trace_dir):
             o = f(x + 1e-3, off, m, w)
             _ = np.asarray(o[0, 0, :4, 0])
+    elif args.workload == "tof":
+        from dynavsr_tpu.models.tof import TOFlow
+
+        model = TOFlow(dtype=jnp.bfloat16)
+        x = jax.random.uniform(ks[0], (4, 7, 576, 704, 3))  # x4 Vid4 scale
+        params = jax.jit(model.init)(ks[1], x[:1])
+        f = jax.jit(model.apply)
+        _ = np.asarray(f(params, x)[0, :4, 0])
+        with jax.profiler.trace(trace_dir):
+            o = f(params, x + 1e-3)
+            _ = np.asarray(o[0, :4, 0])
+    elif args.workload == "duf":
+        from dynavsr_tpu.models.duf import DUF
+
+        model = DUF(scale=4, dense1_layers=3, dtype=jnp.bfloat16)
+        x = jax.random.uniform(ks[0], (4, 7, 144, 176, 3))
+        params = jax.jit(model.init)(ks[1], x[:1])
+        f = jax.jit(model.apply)
+        _ = np.asarray(f(params, x)[0, :4, 0])
+        with jax.profiler.trace(trace_dir):
+            o = f(params, x + 1e-3)
+            _ = np.asarray(o[0, :4, 0])
     else:  # adapt
         from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
         from dynavsr_tpu.models.edvr import EDVR
