@@ -50,12 +50,15 @@ import jax.numpy as jnp
 __all__ = ["deform_conv2d_fused", "deform_conv2d_pipelined", "set_frame_chunk_budget"]
 
 # Frame-chunking budget for the scan (bytes of packed source per step).
-# Chunking small (SLR-scale) frames speeds the standalone op ~2x, but
-# measured END-TO-END it regressed the adapt+infer bench 6.9 -> 5.0 fps
-# (the rematerialized backward of a multi-frame chunk schedules worse), so
-# the default disables it. set_frame_chunk_budget(6<<20) re-enables for
-# experimentation.
-_VMEM_SRC_BUDGET = 0
+# Small SLR-scale frames pay ~0.2 ms of per-scan-step overhead, so packing
+# 2 frames per step helps (adapt segment 0.711 -> 0.691 s, headline
+# 8.91 -> 9.04 fps). The budget must stay SMALL: an 8 MB source spills the
+# gather out of VMEM and regressed the same segment to 1.23 s even with
+# the gathered block saved (round-2 measurements) — and round-1's 6 MB
+# experiment failed for the same reason. L1/training-scale frames exceed
+# the budget and keep fc=1 (their per-frame source is already the right
+# unit). set_frame_chunk_budget(0) restores strict per-frame scanning.
+_VMEM_SRC_BUDGET = 2 << 20
 
 
 def set_frame_chunk_budget(nbytes: int) -> None:
