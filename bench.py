@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--flagship", action="store_true",
                     help="TPU-flagship EDVR-M variant (deformable_groups=1); "
                          "default is the groups=8 reference-parity config")
+    ap.add_argument("--edvr-l", action="store_true",
+                    help="EDVR-L (nf=128, back_RBs=40) supervised training "
+                         "step throughput instead of the adapt+infer metric")
     ap.add_argument("--adapt-steps", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
@@ -44,6 +47,10 @@ def main() -> None:
     from dynavsr_tpu.utils.util import enable_compilation_cache
 
     enable_compilation_cache()  # reuse AOT executables across driver reruns
+
+    if args.edvr_l:
+        _edvr_l_bench(args)
+        return
 
     import jax.numpy as jnp
 
@@ -125,6 +132,54 @@ def main() -> None:
         f"best={best:.3f}s times={[round(t, 3) for t in times]}",
         file=sys.stderr,
     )
+
+
+def _edvr_l_bench(args) -> None:
+    """EDVR-L supervised step throughput (VERDICT round-1 item 8; the full
+    memory/compile proof incl. the meta step is tools/edvr_l_step_check.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynavsr_tpu.models.edvr import EDVR
+    from dynavsr_tpu.train.trainer import (
+        TrainerConfig,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = EDVR(nf=128, nframes=5, groups=8, front_RBs=5, back_RBs=40,
+                 dtype=jnp.bfloat16)
+    b, lq, gt = (2, 16, 64) if args.quick else (4, 64, 256)
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    lqs = jax.random.uniform(ks[0], (b, 5, lq, lq, 3))
+    gts = jax.random.uniform(ks[1], (b, gt, gt, 3))
+    params = jax.jit(model.init)(ks[2], lqs[:1])
+    cfg = TrainerConfig(lr=2e-4)
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=make_optimizer(cfg))
+    step = make_train_step(model, cfg, donate=False)
+    state, logs = step(state, {"LQs": lqs, "GT": gts})
+    np.asarray(logs["l_pix"])
+    times = []
+    for i in range(args.repeats):
+        batch = {"LQs": jax.random.uniform(jax.random.PRNGKey(10 + i), lqs.shape),
+                 "GT": gts}
+        t0 = time.perf_counter()
+        state, logs = step(state, batch)
+        _ = np.asarray(logs["l_pix"])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(json.dumps({
+        "metric": "edvr_l_train_samples_per_sec_per_chip",
+        "value": round(b / best, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": None,
+        "baseline_kind": "no_published_reference_throughput",
+    }))
+    print(f"# edvr_l step best={best:.3f}s batch={b} "
+          f"times={[round(t, 3) for t in times]}", file=sys.stderr)
 
 
 if __name__ == "__main__":
