@@ -341,3 +341,48 @@ def test_dcn_pipelined_gd1_matches_ref():
     ref = deform_conv2d_ref(x, offset, None, weight)
     pipe = deform_conv2d_pipelined(x, offset, None, weight)
     np.testing.assert_allclose(np.asarray(pipe), np.asarray(ref), atol=1e-4)
+
+
+def test_dcn_fused_chunked_parity():
+    """Frame-chunking (the 2 MB default packs several small frames per scan
+    step) must be numerically invisible, including at batch sizes the chunk
+    width does not divide (fc falls back to a divisor) and for grads."""
+    from dynavsr_tpu.ops.dcn_fused import (
+        _VMEM_SRC_BUDGET,
+        deform_conv2d_fused,
+        set_frame_chunk_budget,
+    )
+
+    rng = np.random.default_rng(21)
+    gd, cin, cout, k = 2, 4, 4, 9
+    h, w = 6, 6
+
+    def make(b):
+        x = jnp.asarray(rng.random((b, h, w, cin)).astype(np.float32))
+        weight = jnp.asarray(
+            (rng.random((3, 3, cin, cout)) - 0.5).astype(np.float32))
+        offset = jnp.asarray(
+            ((rng.random((b, h, w, 2 * gd * k)) - 0.5) * 4).astype(np.float32))
+        mask = jnp.asarray(rng.random((b, h, w, gd * k)).astype(np.float32))
+        return x, offset, mask, weight
+
+    try:
+        for b in (6, 5):  # 5 is prime: fc must fall back to 5 or 1
+            x, offset, mask, weight = make(b)
+            src_frame = (h + 4) * (w + 4) * gd * 4 * (cin // gd) * 4
+            set_frame_chunk_budget(0)
+            ref = deform_conv2d_fused(x, offset, mask, weight,
+                                      deformable_groups=gd)
+            gref = jax.grad(lambda *a: jnp.sum(
+                deform_conv2d_fused(*a, deformable_groups=gd)))(x, offset, mask, weight)
+            set_frame_chunk_budget(src_frame * 3)  # fc=3 for b=6
+            out = deform_conv2d_fused(x, offset, mask, weight,
+                                      deformable_groups=gd)
+            gout = jax.grad(lambda *a: jnp.sum(
+                deform_conv2d_fused(*a, deformable_groups=gd)))(x, offset, mask, weight)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-4, rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(gout), np.asarray(gref),
+                                       atol=1e-4, rtol=1e-4)
+    finally:
+        set_frame_chunk_budget(_VMEM_SRC_BUDGET)
