@@ -70,34 +70,14 @@ def main(argv=None):
         # fall through the `or` default.
         infer_chunk=8 if ic is None else int(ic),
     )
-    # Mod-pad both the SLR pseudo-task inputs and the LR inference windows:
-    # SLR = LR/4 is generally NOT pyramid-divisible (e.g. 9x11 on Vid4).
-    # TOF consumes bicubically PRE-UPSCALED frames (TOF_arch [H]) — both the
-    # adaptation pseudo-task (SLR window -> LR center) and inference windows
-    # get the same x`scale` bicubic front-end, mirroring make_infer_fn.
-    from dynavsr_tpu.models.padding import arch_mod, mod_pad_apply
+    # Mod-pad both the SLR pseudo-task inputs and the LR inference windows
+    # (SLR = LR/4 is generally NOT pyramid-divisible, e.g. 9x11 on Vid4),
+    # and apply TOF's bicubic pre-upscale front-end where the module does
+    # not fold it in — one shared helper encodes the per-arch conventions.
+    from dynavsr_tpu.models.padding import make_model_apply
 
     which = (opt["network_G"] or {}).get("which_model_G")
-    if which == "TOF" and getattr(vsr.netG, "pre_upscale", False):
-        # Bicubic front-end inside the module: raw-LR contract, SpyNet's /8
-        # divisibility maps to mod 8/scale on the LR input.
-        mod = -(-8 // scale)
-        padded_apply = lambda p, x: mod_pad_apply(  # noqa: E731
-            lambda xx: vsr.netG.apply(p, xx), x, mod=mod, scale=scale)
-    elif which == "TOF":
-        from dynavsr_tpu.data.resize import imresize_batched
-
-        def padded_apply(p, x):
-            b, n, h, w, c = x.shape
-            up = imresize_batched(x.reshape(b * n, h, w, c), float(scale))
-            up = up.reshape(b, n, h * scale, w * scale, c)
-            return mod_pad_apply(
-                lambda xx: vsr.netG.apply(p, xx), up,
-                mod=arch_mod("TOF"), scale=1)
-    else:
-        mod = arch_mod(which)
-        padded_apply = lambda p, x: mod_pad_apply(  # noqa: E731
-            lambda xx: vsr.netG.apply(p, xx), x, mod=mod, scale=scale)
+    padded_apply = make_model_apply(vsr.netG, which, scale)
     run = make_adapt_and_infer(vsr.netG, cfg, apply_fn=padded_apply)
 
     results = {}

@@ -11,12 +11,13 @@ crops the scaled output back.
 
 from __future__ import annotations
 
-from typing import Callable
+import math
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mod_pad_apply", "arch_mod"]
+__all__ = ["mod_pad_apply", "arch_mod", "tof_raw_mod", "make_model_apply"]
 
 
 def arch_mod(which: str) -> int:
@@ -26,6 +27,40 @@ def arch_mod(which: str) -> int:
     if which == "TOF":
         return 8  # 4-level SpyNet on the pre-upscaled input
     return 1
+
+
+def tof_raw_mod(scale: int) -> int:
+    """Divisibility required of a RAW-LR input so that the x`scale`
+    pre-upscaled frames divide SpyNet's /8 pyramid: H*scale % 8 == 0
+    iff H % (8 // gcd(8, scale)) == 0."""
+    return 8 // math.gcd(8, int(scale))
+
+
+def make_model_apply(netG, which: Optional[str], scale: int,
+                     raw_apply: Optional[Callable] = None) -> Callable:
+    """(params, raw-LR windows) -> SR, with per-arch input conventions.
+
+    The ONE place that encodes them (used by eval, the adaptation CLI and
+    the meta trainer): TOF consumes bicubically pre-upscaled frames
+    (TOF_arch [H]) — applied externally here unless the module folds it in
+    (TOFlow.pre_upscale); pyramid nets get mod-padded inputs so arbitrary
+    clip/SLR sizes work like the reference's padded eval.
+    """
+    apply = raw_apply or (lambda p, x: netG.apply(p, x))
+    if which == "TOF" and not getattr(netG, "pre_upscale", False):
+        from dynavsr_tpu.data.resize import imresize_batched
+
+        def tof_apply(p, x):
+            b, n, h, w, c = x.shape
+            up = imresize_batched(x.reshape(b * n, h, w, c), float(scale))
+            up = up.reshape(b, n, h * scale, w * scale, c)
+            return mod_pad_apply(
+                lambda xx: apply(p, xx), up, mod=arch_mod("TOF"), scale=1)
+
+        return tof_apply
+    mod = tof_raw_mod(scale) if which == "TOF" else arch_mod(which)
+    return lambda p, x: mod_pad_apply(
+        lambda xx: apply(p, xx), x, mod=mod, scale=scale)
 
 
 def mod_pad_apply(

@@ -148,37 +148,18 @@ class VideoBaseModel:
         self._fake_H = self._eval_step(self.state.params, jnp.asarray(self._batch["LQs"]))
 
     def make_infer_fn(self):
-        """Windows -> SR frames, with per-arch input conventions:
-        TOF consumes bicubically pre-upscaled frames (TOF_arch [H]); EDVR/
-        DUF/others consume LR directly. Pyramid nets get mod-padded inputs
-        (models/padding.py) so arbitrary clip sizes work like the
-        reference's padded eval."""
-        from dynavsr_tpu.models.padding import arch_mod, mod_pad_apply
+        """Windows -> SR frames. Per-arch input conventions (TOF's bicubic
+        pre-upscale, pyramid mod-padding) live in
+        models/padding.make_model_apply — one shared implementation with
+        the adaptation CLI and the meta trainer."""
+        from dynavsr_tpu.models.padding import make_model_apply
 
         which = (self.opt.get("network_G") or {}).get("which_model_G")
         scale = self.opt.get("scale", 4)
-        if which == "TOF" and getattr(self.netG, "pre_upscale", False):
-            # The bicubic front-end lives inside the module; raw-LR contract.
-            return lambda w: mod_pad_apply(
-                lambda x: self._eval_step(self.state.params, x),
-                jnp.asarray(w), mod=-(-8 // scale), scale=scale)
-        if which == "TOF":
-            from dynavsr_tpu.data.resize import imresize_batched
-
-            def infer(w):
-                w = jnp.asarray(w)
-                b, n, h, ww, c = w.shape
-                up = imresize_batched(w.reshape(b * n, h, ww, c), float(scale))
-                up = up.reshape(b, n, h * scale, ww * scale, c)
-                return mod_pad_apply(
-                    lambda x: self._eval_step(self.state.params, x),
-                    up, mod=arch_mod("TOF"), scale=1)
-
-            return infer
-        mod = arch_mod(which)
-        return lambda w: mod_pad_apply(
-            lambda x: self._eval_step(self.state.params, x),
-            jnp.asarray(w), mod=mod, scale=scale)
+        apply = make_model_apply(
+            self.netG, which, scale,
+            raw_apply=lambda p, x: self._eval_step(p, x))
+        return lambda w: apply(self.state.params, jnp.asarray(w))
 
     def get_current_log(self) -> Dict[str, float]:
         return dict(self.log)
@@ -223,7 +204,7 @@ class MetaModel(VideoBaseModel):
     must carry SLR/LR/LR_center/HR_center (see train/meta.py)."""
 
     def __init__(self, opt: Mapping, mesh=None, example_batch=None):
-        from dynavsr_tpu.models.padding import arch_mod, mod_pad_apply
+        from dynavsr_tpu.models.padding import make_model_apply
         from dynavsr_tpu.train.meta import MetaConfig, make_meta_train_step
 
         t = opt.get("train") or {}
@@ -234,16 +215,12 @@ class MetaModel(VideoBaseModel):
             first_order=bool(t.get("first_order", False)),
             pixel_weight=t.get("pixel_weight") or 1.0,
         )
-        # Mod-pad both meta forwards: the inner pseudo-task input SLR = LR/s
-        # is generally NOT pyramid-divisible (same fix as the adaptation
-        # CLI; no-op when shapes already divide).
+        # Mod-pad both meta forwards (the inner pseudo-task input SLR = LR/s
+        # is generally NOT pyramid-divisible) and give plain TOF its bicubic
+        # front-end — the shared helper covers every arch convention.
         which = (opt.get("network_G") or {}).get("which_model_G")
         scale = opt.get("scale", 4)
-        mod = arch_mod(which)
-        if which == "TOF" and getattr(self.netG, "pre_upscale", False):
-            mod = -(-8 // scale)  # SpyNet /8 maps to 8/scale on raw LR input
-        padded = lambda p, x: mod_pad_apply(  # noqa: E731
-            lambda xx: self.netG.apply(p, xx), x, mod=mod, scale=scale)
+        padded = make_model_apply(self.netG, which, scale)
         self._meta_step = make_meta_train_step(
             self.netG, self.meta_cfg, mesh=self.mesh, donate=False,
             apply_fn=padded,

@@ -4,13 +4,15 @@
 models/archs/dcn/deform_conv.py's ModulatedDeformConv / DCN_sep family,
 SURVEY.md §2.2 [H]). Implementations:
   - "fused" (default): memory-lean tap-scan gather-interpolate-matmul
-              (ops/dcn_fused.py) — never materializes im2col columns,
-              rematerialized backward; the production TRAINING path.
-  - "pipelined": identical numerics, serving schedule — the frame scan
-              carries the gathered block so the row-gather of frame i+1
-              overlaps the MXU contraction of frame i, and backward reuses
-              the carried blocks instead of re-gathering. Higher memory
-              (no remat); use for inference + test-time adaptation.
+              (ops/dcn_fused.py) — never materializes im2col columns;
+              rematerialized backward with a save-gather policy for small
+              blocks. The production path for training AND serving (the
+              fastest measured on every workload).
+  - "pipelined": identical numerics, experimental schedule that carries
+              the gathered block across the frame scan. SUPERSEDED by the
+              default's save-gather policy + j-major layout — measured
+              slower everywhere (see dcn_fused.py / ROOFLINE.md); kept as
+              the documented scheduling experiment.
   - "ref":    pure-JAX im2col gather+einsum (ops/dcn_ref.py) — the parity
               oracle; O(B*HW*K*C) memory, test use only.
 Select globally via set_dcn_impl() or per-call via impl=.

@@ -30,10 +30,12 @@ def main():
         np.asarray(jnp.ravel(x)[:8])
 
     def bench(fn, args_list, label, rows):
+        # args_list[0] is warmup-only — the tunnel memoizes identical
+        # (executable, inputs) calls, so it must not be re-timed.
         out = fn(*args_list[0])
         fetch(out)
         times = []
-        for a in args_list:
+        for a in args_list[1:]:
             t0 = time.perf_counter()
             out = fn(*a)
             fetch(out)
