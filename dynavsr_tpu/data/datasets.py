@@ -139,14 +139,22 @@ class REDSDataset:
         # reproduces bit-identical crops/flips — reference DistIterSampler
         # determinism [H], extended to augmentation.
         if rng is None:
-            rng = random.Random(hash(("item", index)))
+            # int seed, not hash(tuple-with-str): str hashes are
+            # PYTHONHASHSEED-randomized per process and would break the
+            # determinism contract for direct ds[i] access.
+            rng = random.Random(index)
         clip, center = self._locate(index)
         t = self.lengths[clip]
         interval = rng.choice(self.interval_list)
         half = self.n_frames // 2
         # Reference behavior: re-center the window inside the clip bounds.
-        center = min(max(center, half * interval), t - 1 - half * interval)
+        lo, hi = half * interval, t - 1 - half * interval
+        if hi >= lo:
+            center = min(max(center, lo), hi)
         idxs = list(range(center - half * interval, center + half * interval + 1, interval))
+        # Clips shorter than the dilated window replicate border frames
+        # instead of letting negative indices wrap to the clip's end.
+        idxs = [min(max(i, 0), t - 1) for i in idxs]
         if self.random_reverse and rng.random() < 0.5:
             idxs.reverse()
         lqs = self.lq_index.read_seq(clip, idxs)

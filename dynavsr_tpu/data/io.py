@@ -80,6 +80,9 @@ def glob_clip_folders(dataroot: str) -> Dict[str, List[str]]:
         if not frames:
             continue
         rel = osp.relpath(root, dataroot)
-        key = osp.basename(osp.abspath(dataroot)) if rel == "." else rel.replace(os.sep, "_")
+        # A dataroot that directly contains frames is ONE clip. Its key must
+        # be root-independent ('clip', not the dataroot basename) so paired
+        # GT/LQ roots with different basenames index the same clip name.
+        key = "clip" if rel == "." else rel.replace(os.sep, "_")
         clips[key] = frames
     return dict(sorted(clips.items()))

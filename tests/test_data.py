@@ -244,3 +244,43 @@ def test_vimeo90k_meta_info_file(tmp_path):
     assert len(ds) == 14  # 2 clips x 7 frames
     item = ds[0]
     assert item["LQs"].shape == (7, 8, 8, 3)
+
+
+def test_flat_dataroot_pairs_gt_lq(tmp_path):
+    """A dataroot that directly contains frames is one clip whose key must
+    be root-independent, so paired GT/LQ roots with different basenames
+    (GT/ vs LQ_bic/) resolve to the SAME clip name."""
+    import cv2
+
+    from dynavsr_tpu.data.io import glob_clip_folders
+
+    for leg, size in (("GT", 32), ("LQ_bic", 8)):
+        d = tmp_path / leg
+        d.mkdir()
+        for i in range(3):
+            cv2.imwrite(str(d / f"{i:08d}.png"),
+                        np.full((size, size, 3), i * 10, np.uint8))
+    gt = glob_clip_folders(str(tmp_path / "GT"))
+    lq = glob_clip_folders(str(tmp_path / "LQ_bic"))
+    assert set(gt) == set(lq) == {"clip"}
+    assert len(gt["clip"]) == 3
+
+
+def test_short_clip_window_replicates_border(tmp_path):
+    """Clips shorter than the dilated window must replicate border frames,
+    not wrap to the clip's end via negative indexing."""
+    make_clip_tree(str(tmp_path / "GT"), ["c"], frames=7, h=32, w=32, seed=1)
+    make_clip_tree(str(tmp_path / "LQ"), ["c"], frames=7, h=8, w=8, seed=2)
+    from dynavsr_tpu.data.datasets import REDSDataset
+
+    ds = REDSDataset({
+        "dataroot_GT": str(tmp_path / "GT"),
+        "dataroot_LQ": str(tmp_path / "LQ"),
+        "N_frames": 5, "LQ_size": 8, "scale": 4,
+        "interval_list": [2],  # dilated window = 9 > 7 frames
+        "use_flip": False, "use_rot": False, "random_reverse": False,
+        "phase": "train", "name": "short",
+    })
+    item = ds.get_item(0)
+    assert item["LQs"].shape == (5, 8, 8, 3)
+    assert np.isfinite(item["LQs"]).all()

@@ -101,8 +101,22 @@ def main():
     enable_compilation_cache()
     root = args.root or tempfile.mkdtemp(prefix="blind_adapt_")
     data = f"{root}/data"
+    # A reused --root must match --sigma: the Gaussian legs are baked into
+    # the data tree. Regenerate on mismatch (training legs use LQ_bic /
+    # on-device random kernels, so existing checkpoints stay valid).
+    marker = f"{data}/.sigma"
+    stale = (osp.exists(marker) and open(marker).read().strip() != repr(args.sigma))
+    if stale:
+        import shutil
+
+        print(f"--sigma changed (was {open(marker).read().strip()}); "
+              "regenerating data tree", flush=True)
+        shutil.rmtree(data)
     if not osp.exists(f"{data}/val/GT"):
         make_data(data, args.sigma)
+        os.makedirs(data, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(repr(args.sigma))
     print(f"run dir: {root}", flush=True)
 
     if args.arch == "tof":
