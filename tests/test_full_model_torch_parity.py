@@ -133,3 +133,48 @@ def test_torch_dcn_matches_jax_ref():
         torch.from_numpy(bias), deformable_groups=gd,
     ).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_edvr_predeblur_forward_parity():
+    """predeblur=True routes through Predeblur_ResNet_Pyramid + conv_1x1
+    (EDVR_arch [H], detail [M]) — validates the converter's name map for
+    the deblur pyramid RBs."""
+    from dynavsr_tpu.models.edvr import EDVR
+
+    torch.manual_seed(2)
+    tmodel = tr.EDVR(nf=16, nframes=3, groups=2, front_RBs=1, back_RBs=2,
+                     predeblur=True)
+    _randomize_dcn(tmodel)
+    fmodel = EDVR(nf=16, nframes=3, groups=2, front_RBs=1, back_RBs=2,
+                  predeblur=True)
+    x = np.random.default_rng(2).uniform(0, 1, (1, 3, 3, 16, 16)).astype(np.float32)
+    _convert_and_compare(tmodel, fmodel, x)
+
+
+def test_edvr_predeblur_hr_in_forward_parity():
+    """predeblur + HR_in: HR-sized input, strided deblur front-end, identity
+    base skip (out + x_center)."""
+    from dynavsr_tpu.models.edvr import EDVR
+
+    torch.manual_seed(3)
+    tmodel = tr.EDVR(nf=16, nframes=3, groups=2, front_RBs=1, back_RBs=2,
+                     predeblur=True, HR_in=True)
+    _randomize_dcn(tmodel)
+    fmodel = EDVR(nf=16, nframes=3, groups=2, front_RBs=1, back_RBs=2,
+                  predeblur=True, hr_in=True)
+    x = np.random.default_rng(3).uniform(0, 1, (1, 3, 3, 32, 32)).astype(np.float32)
+    _convert_and_compare(tmodel, fmodel, x)
+
+
+def test_edvr_hr_in_forward_parity():
+    """HR_in without predeblur: strided conv_first_1/2/3 front-end."""
+    from dynavsr_tpu.models.edvr import EDVR
+
+    torch.manual_seed(4)
+    tmodel = tr.EDVR(nf=16, nframes=3, groups=2, front_RBs=1, back_RBs=2,
+                     HR_in=True)
+    _randomize_dcn(tmodel)
+    fmodel = EDVR(nf=16, nframes=3, groups=2, front_RBs=1, back_RBs=2,
+                  hr_in=True)
+    x = np.random.default_rng(4).uniform(0, 1, (1, 3, 3, 32, 32)).astype(np.float32)
+    _convert_and_compare(tmodel, fmodel, x)

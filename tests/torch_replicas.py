@@ -208,13 +208,61 @@ class TSA_Fusion(nn.Module):
         return fused * att * 2.0 + att_add
 
 
+class Predeblur_ResNet_Pyramid(nn.Module):
+    """EDVR_arch.Predeblur_ResNet_Pyramid (SURVEY.md §2.1 [H], detail [M]);
+    mirrors dynavsr_tpu/models/edvr.py:PredeblurResNetPyramid name-for-name."""
+
+    def __init__(self, nf=64, HR_in=False):
+        super().__init__()
+        self.HR_in = HR_in
+        if HR_in:
+            self.conv_first_1 = nn.Conv2d(3, nf, 3, 1, 1)
+            self.conv_first_2 = nn.Conv2d(nf, nf, 3, 2, 1)
+            self.conv_first_3 = nn.Conv2d(nf, nf, 3, 2, 1)
+        else:
+            self.conv_first = nn.Conv2d(3, nf, 3, 1, 1)
+        for name in ("RB_L1_1", "RB_L1_2", "RB_L1_3", "RB_L1_4", "RB_L1_5",
+                     "RB_L2_1", "RB_L2_2", "RB_L3_1"):
+            setattr(self, name, ResidualBlock_noBN(nf))
+        self.deblur_L2_conv = nn.Conv2d(nf, nf, 3, 2, 1)
+        self.deblur_L3_conv = nn.Conv2d(nf, nf, 3, 2, 1)
+
+    def forward(self, x):
+        if self.HR_in:
+            l1 = lrelu(self.conv_first_1(x))
+            l1 = lrelu(self.conv_first_2(l1))
+            l1 = lrelu(self.conv_first_3(l1))
+        else:
+            l1 = lrelu(self.conv_first(x))
+        l2 = lrelu(self.deblur_L2_conv(l1))
+        l3 = lrelu(self.deblur_L3_conv(l2))
+        l3 = up2(self.RB_L3_1(l3))
+        l2 = self.RB_L2_1(l2) + l3
+        l2 = up2(self.RB_L2_2(l2))
+        out = self.RB_L1_1(l1)
+        out = self.RB_L1_2(out) + l2
+        for rb in (self.RB_L1_3, self.RB_L1_4, self.RB_L1_5):
+            out = rb(out)
+        return out
+
+
 class EDVR(nn.Module):
     def __init__(self, nf=64, nframes=5, groups=8, front_RBs=5, back_RBs=10,
-                 center=None, w_TSA=True):
+                 center=None, w_TSA=True, predeblur=False, HR_in=False):
         super().__init__()
         self.center = center if center is not None else nframes // 2
         self.w_TSA = w_TSA
-        self.conv_first = nn.Conv2d(3, nf, 3, 1, 1)
+        self.predeblur = predeblur
+        self.HR_in = HR_in
+        if predeblur:
+            self.pre_deblur = Predeblur_ResNet_Pyramid(nf, HR_in)
+            self.conv_1x1 = nn.Conv2d(nf, nf, 1, 1, 0)
+        elif HR_in:
+            self.conv_first_1 = nn.Conv2d(3, nf, 3, 1, 1)
+            self.conv_first_2 = nn.Conv2d(nf, nf, 3, 2, 1)
+            self.conv_first_3 = nn.Conv2d(nf, nf, 3, 2, 1)
+        else:
+            self.conv_first = nn.Conv2d(3, nf, 3, 1, 1)
         self.feature_extraction = nn.Sequential(
             *[ResidualBlock_noBN(nf) for _ in range(front_RBs)])
         self.fea_L2_conv1 = nn.Conv2d(nf, nf, 3, 2, 1)
@@ -237,7 +285,18 @@ class EDVR(nn.Module):
     def forward(self, x):  # (B, N, 3, H, W)
         b, n, c, h, w = x.shape
         x_center = x[:, self.center]
-        l1 = lrelu(self.conv_first(x.view(b * n, c, h, w)))
+        xf = x.view(b * n, c, h, w)
+        if self.predeblur:
+            l1 = self.conv_1x1(self.pre_deblur(xf))
+            if self.HR_in:
+                h, w = h // 4, w // 4
+        elif self.HR_in:
+            l1 = lrelu(self.conv_first_1(xf))
+            l1 = lrelu(self.conv_first_2(l1))
+            l1 = lrelu(self.conv_first_3(l1))
+            h, w = h // 4, w // 4
+        else:
+            l1 = lrelu(self.conv_first(xf))
         l1 = self.feature_extraction(l1)
         l2 = lrelu(self.fea_L2_conv2(lrelu(self.fea_L2_conv1(l1))))
         l3 = lrelu(self.fea_L3_conv2(lrelu(self.fea_L3_conv1(l2))))
@@ -256,8 +315,11 @@ class EDVR(nn.Module):
         out = lrelu(self.ps(self.upconv1(out)))
         out = lrelu(self.ps(self.upconv2(out)))
         out = self.conv_last(lrelu(self.HRconv(out)))
-        base = F.interpolate(x_center, scale_factor=4, mode="bilinear",
-                             align_corners=False)
+        if self.HR_in:
+            base = x_center
+        else:
+            base = F.interpolate(x_center, scale_factor=4, mode="bilinear",
+                                 align_corners=False)
         return out + base
 
 
