@@ -77,7 +77,11 @@ def main(argv=None):
     rank0 = jax.process_index() == 0
 
     if rank0:
-        mkdir_and_rename(opt["path"]["experiments_root"])
+        # Reference train.py [H]: the experiment dir is archive-renamed only
+        # for a FRESH run — a resuming run must keep the directory holding
+        # the very training_state it is about to load.
+        if not opt["path"].get("resume_state"):
+            mkdir_and_rename(opt["path"]["experiments_root"])
         mkdirs([opt["path"]["models"], opt["path"]["training_state"],
                 opt["path"]["val_images"]])
     setup_logger("base", opt["path"]["log"], "train", screen=rank0, tofile=rank0)

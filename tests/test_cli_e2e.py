@@ -289,3 +289,34 @@ def test_dynavsr_adaptation_cli(workdir, monkeypatch, tag, netg, nframes):
     for clip in ("clipA", "clipB"):
         assert len(results[clip]["psnr"]) == 12
         assert np.all(np.isfinite(results[clip]["adapt_losses"]))
+
+
+def test_train_resume_cli(workdir, monkeypatch):
+    """Crash-recovery through the real CLI (reference check_resume flow,
+    SURVEY.md §5): train to iter 2 with checkpointing, then relaunch with
+    resume_state and finish — the resumed run must continue the iteration
+    count and land the final checkpoint."""
+    from dynavsr_tpu.cli import train as train_cli
+
+    name = "tiny_resume"
+    yml_body = TRAIN_YML.format(gt=workdir / "GT", lq=workdir / "LQ").replace(
+        "name: tiny_e2e", f"name: {name}").replace(
+        "save_checkpoint_freq: 1000", "save_checkpoint_freq: 2")
+    monkeypatch.chdir(workdir)
+
+    # leg 1: 2 iters, checkpoint at 2
+    yml1 = workdir / "resume1.yml"
+    yml1.write_text(yml_body.replace("niter: 4", "niter: 2"))
+    assert train_cli.main(["-opt", str(yml1)]) == 2
+    exp = workdir / "experiments" / name
+    assert (exp / "models" / "2_G").exists()
+    state2 = exp / "training_state" / "2.state"
+    assert state2.exists()
+
+    # leg 2: resume from 2.state, run to 4
+    yml2 = workdir / "resume2.yml"
+    yml2.write_text(yml_body.replace(
+        "path: {}", f"path:\n  resume_state: {state2}"))
+    assert train_cli.main(["-opt", str(yml2)]) == 4
+    exp2 = workdir / "experiments" / name
+    assert (exp2 / "models" / "4_G").exists()
