@@ -320,3 +320,69 @@ def test_train_resume_cli(workdir, monkeypatch):
     assert train_cli.main(["-opt", str(yml2)]) == 4
     exp2 = workdir / "experiments" / name
     assert (exp2 / "models" / "4_G").exists()
+
+
+def test_train_with_validation_cli(workdir, monkeypatch):
+    """In-training validation (reference train.py val block): val_freq=2
+    must trigger _validate during a 2-iter run and log finite PSNR."""
+    from dynavsr_tpu.cli import train as train_cli
+
+    yml = workdir / "valrun.yml"
+    yml.write_text(TRAIN_YML.format(gt=workdir / "GT", lq=workdir / "LQ")
+                   .replace("name: tiny_e2e", "name: tiny_valrun")
+                   .replace("val_freq: 1000", "val_freq: 2")
+                   .replace("niter: 4", "niter: 2"))
+    monkeypatch.chdir(workdir)
+    assert train_cli.main(["-opt", str(yml)]) == 2
+    import glob as _glob
+
+    logs = _glob.glob(str(workdir / "experiments" / "tiny_valrun" / "train_*.log"))
+    assert logs, "train log file missing"
+    assert "psnr" in open(logs[0]).read().lower()
+
+
+def test_eval_cli_with_torch_pth_checkpoint(workdir, monkeypatch):
+    """The reference-user migration path: point pretrain_model_G at a
+    PyTorch .pth state_dict and run the eval CLI — auto-conversion
+    (OIHW->HWIO, scan-trunk stacking) happens inside load_pretrained."""
+    import torch
+
+    from dynavsr_tpu.cli import test as test_cli
+    from tests import torch_replicas as tr
+
+    torch.manual_seed(7)
+    tmodel = tr.EDVR(nf=8, nframes=3, groups=2, front_RBs=1, back_RBs=1)
+    pth = workdir / "edvr_tiny.pth"
+    torch.save(tmodel.state_dict(), str(pth))
+
+    yml = workdir / "pth_eval.yml"
+    yml.write_text(textwrap.dedent(f"""
+        name: tiny_pth_eval
+        model: video_base
+        scale: 4
+        datasets:
+          test:
+            name: tinyset
+            mode: video_test
+            dataroot_GT: {workdir / 'GT'}
+            dataroot_LQ: {workdir / 'LQ'}
+            N_frames: 3
+            padding: reflection
+        network_G:
+          which_model_G: EDVR
+          nf: 8
+          nframes: 3
+          groups: 2
+          front_RBs: 1
+          back_RBs: 1
+        path:
+          pretrain_model_G: {pth}
+          strict_load: true
+        eval:
+          crop_border: 0
+          ycbcr: false
+    """))
+    monkeypatch.chdir(workdir)
+    results = test_cli.main(["-opt", str(yml), "--no-save-images"])
+    res = results["test"]
+    assert np.isfinite(res["_avg"]["psnr_avg"])
