@@ -386,3 +386,27 @@ def test_eval_cli_with_torch_pth_checkpoint(workdir, monkeypatch):
     results = test_cli.main(["-opt", str(yml), "--no-save-images"])
     res = results["test"]
     assert np.isfinite(res["_avg"]["psnr_avg"])
+
+
+def test_dynavsr_clip_parallel_cli(workdir, monkeypatch):
+    """The clip-parallel serving branch through the real CLI: 2 clips padded
+    to the 8-device mesh, all adapted concurrently; per-clip PSNRs must
+    match the serial path's."""
+    from dynavsr_tpu.cli import test_dynavsr as td_cli
+
+    base = DYNAVSR_YML.format(
+        tag="cp", gt=workdir / "GT", lq=workdir / "LQ",
+        netg=EDVR_NETG, nframes=3, est="MFDN")
+    monkeypatch.chdir(workdir)
+
+    yml_s = workdir / "dynavsr_serial.yml"
+    yml_s.write_text(base)
+    serial = td_cli.main(["-opt", str(yml_s), "--no-save-images"])
+
+    yml_p = workdir / "dynavsr_cp.yml"
+    yml_p.write_text(base.replace("adapt:", "adapt:\n  clip_parallel: true"))
+    par = td_cli.main(["-opt", str(yml_p), "--no-save-images"])
+
+    for clip in ("clipA", "clipB"):
+        np.testing.assert_allclose(
+            par[clip]["psnr"], serial[clip]["psnr"], rtol=0, atol=0.05)
