@@ -410,3 +410,42 @@ def test_dynavsr_clip_parallel_cli(workdir, monkeypatch):
     for clip in ("clipA", "clipB"):
         np.testing.assert_allclose(
             par[clip]["psnr"], serial[clip]["psnr"], rtol=0, atol=0.05)
+
+
+def test_eval_cli_saves_images(workdir, monkeypatch):
+    """Without --no-save-images the eval CLI must write one SR PNG per
+    frame under results/<name>/<clip>/ (reference test script behavior)."""
+    import glob as _glob
+
+    from dynavsr_tpu.cli import test as test_cli
+
+    yml = workdir / "save_eval.yml"
+    yml.write_text(textwrap.dedent(f"""
+        name: tiny_save_eval
+        model: video_base
+        scale: 4
+        datasets:
+          test:
+            name: tinyset
+            mode: video_test
+            dataroot_GT: {workdir / 'GT'}
+            dataroot_LQ: {workdir / 'LQ'}
+            N_frames: 3
+            padding: reflection
+        network_G:
+          which_model_G: EDVR
+          nf: 8
+          nframes: 3
+          groups: 2
+          front_RBs: 1
+          back_RBs: 1
+        path: {{}}
+        eval:
+          crop_border: 0
+          ycbcr: false
+    """))
+    monkeypatch.chdir(workdir)
+    results = test_cli.main(["-opt", str(yml)])
+    assert np.isfinite(results["test"]["_avg"]["psnr_avg"])
+    pngs = _glob.glob(str(workdir / "results" / "tiny_save_eval" / "tinyset" / "clipA" / "*.png"))
+    assert len(pngs) == 12

@@ -179,3 +179,20 @@ def test_tof_pre_upscale_equivalence():
     assert out_raw.shape == (1, 32, 48, 3)
     np.testing.assert_allclose(
         np.asarray(out_raw), np.asarray(out_up), atol=1e-6)
+
+
+def test_duf_variant_depths_forward():
+    """DUF_28L/DUF_52L dispatch (networks.py define_G) and forward at tiny
+    shapes — the deeper dense trunks only differ in dense1_layers."""
+    import jax
+    import jax.numpy as jnp
+
+    from dynavsr_tpu.models.networks import define_G
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 7, 8, 8, 3))
+    for which in ("DUF_28L", "DUF_52L"):
+        net = define_G({"scale": 4, "network_G": {"which_model_G": which}})
+        p = jax.jit(net.init)(jax.random.PRNGKey(1), x)
+        y = net.apply(p, x)
+        assert y.shape == (1, 32, 32, 3)
+        assert bool(jnp.isfinite(y).all())
