@@ -166,14 +166,14 @@ def deform_conv2d_fused(
     compute_dtype = x.dtype
     w4_mat = w2_mat = None
     if gd > 1 and groups == 1:
-        # 4x corner-expanded weight, (J, 4*cg, cout): per j = (g, tap) row
-        # block, lanes ordered (corner, cg) to match the packed-source lane
-        # order; a single multi-contraction dot over (J, 4*cg) performs the
-        # corner reduction on the MXU.
-        wk = weight.reshape(k, gd, cg, cout).transpose(1, 0, 2, 3)  # (gd,k,cg,o)
-        w4_mat = jnp.broadcast_to(
-            wk[:, :, None, :, :], (gd, k, 4, cg, cout)
-        ).reshape(jd, 4 * cg, cout).astype(compute_dtype)
+        # Per-(group, tap) weight (J, cg, cout): FOUR per-corner lane-slice
+        # dots perform the corner reduction on the MXU, with each corner's
+        # scalar field multiplying as a fused (J, NF, 1) broadcast — same
+        # rationale as the gd=1 path (the single corner-expanded dot needed
+        # a materialized concat-of-broadcast weight field; measured 7%
+        # slower at L1 scale).
+        w4_mat = weight.reshape(k, gd, cg, cout).transpose(1, 0, 2, 3) \
+            .reshape(jd, cg, cout).astype(compute_dtype)
     elif gd == 1 and groups == 1:
         # Per-tap weight (K, Cin, Cout): each gathered row holds
         # [x(y0,.), x(y1,.)]; FOUR half-lane multi-contraction dots (one per
@@ -229,7 +229,7 @@ def deform_conv2d_fused(
 
         if gd > 1 and groups == 1:
             # j-major gather: rows ordered (j, pixel) so the gathered block
-            # reshapes FREE to (J, NF, 4*cg) and the dot contracts (J, 4*cg)
+            # reshapes FREE to (J, NF, 4*cg) and the dots contract (J, cg)
             # without the (NF*J, 32) -> (NF, J*32) lane repack the n-major
             # order forces (measured 0.95 ms/frame at L1 scale).
             pf = p.T.reshape(-1)
@@ -241,16 +241,20 @@ def deform_conv2d_fused(
                 mt = mf2.astype(compute_dtype).T
                 wt0 = wt0 * mt
                 wt1 = wt1 * mt
-            wfield = jnp.concatenate(
-                [jnp.broadcast_to((wt0 * xt0)[..., None], (jd, n, cg)),
-                 jnp.broadcast_to((wt0 * xt1)[..., None], (jd, n, cg)),
-                 jnp.broadcast_to((wt1 * xt0)[..., None], (jd, n, cg)),
-                 jnp.broadcast_to((wt1 * xt1)[..., None], (jd, n, cg))],
-                axis=-1)  # (J, NF, 4*cg), corner-major like the source lanes
-            contrib = jax.lax.dot_general(
-                v * wfield, w4_mat,
-                dimension_numbers=(((0, 2), (0, 1)), ((), ())),
-                preferred_element_type=jnp.float32,
+            dn = (((0, 2), (0, 1)), ((), ()))
+            contrib = (
+                jax.lax.dot_general(
+                    v[..., :cg] * (wt0 * xt0)[..., None], w4_mat,
+                    dimension_numbers=dn, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    v[..., cg : 2 * cg] * (wt0 * xt1)[..., None], w4_mat,
+                    dimension_numbers=dn, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    v[..., 2 * cg : 3 * cg] * (wt1 * xt0)[..., None], w4_mat,
+                    dimension_numbers=dn, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    v[..., 3 * cg :] * (wt1 * xt1)[..., None], w4_mat,
+                    dimension_numbers=dn, preferred_element_type=jnp.float32)
             )
             return carry, contrib
 
