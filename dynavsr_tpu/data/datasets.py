@@ -270,7 +270,7 @@ class MetaVideoDataset:
 
     def get_item(self, index: int, rng: random.Random = None) -> Dict[str, np.ndarray]:
         if rng is None:
-            rng = random.Random(hash(("item", index)))
+            rng = random.Random(index)  # int seed: stable across processes
         clip = rng.choice(self.names)
         t = self.lengths[clip]
         start = rng.randint(0, max(0, t - self.n_frames))

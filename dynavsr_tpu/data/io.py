@@ -72,6 +72,7 @@ def glob_clip_folders(dataroot: str) -> Dict[str, List[str]]:
     dataroot-relative path with '_' separators ('00001_0266', matching the
     reference's LMDB key convention)."""
     clips: Dict[str, List[str]] = {}
+    root_frames: List[str] = []
     for root, dirs, files in os.walk(dataroot):
         dirs.sort()
         frames = sorted(
@@ -80,9 +81,15 @@ def glob_clip_folders(dataroot: str) -> Dict[str, List[str]]:
         if not frames:
             continue
         rel = osp.relpath(root, dataroot)
-        # A dataroot that directly contains frames is ONE clip. Its key must
-        # be root-independent ('clip', not the dataroot basename) so paired
-        # GT/LQ roots with different basenames index the same clip name.
-        key = "clip" if rel == "." else rel.replace(os.sep, "_")
-        clips[key] = frames
+        if rel == ".":
+            root_frames = frames
+            continue
+        clips[rel.replace(os.sep, "_")] = frames
+    if root_frames and not clips:
+        # A dataroot that directly contains frames (and no clip subdirs) is
+        # ONE clip. Its key must be root-independent ('clip', not the
+        # dataroot basename) so paired GT/LQ roots with different basenames
+        # index the same clip name; when subdirectory clips exist, they win
+        # (mixed layouts are ambiguous and the root frames are ignored).
+        clips["clip"] = root_frames
     return dict(sorted(clips.items()))

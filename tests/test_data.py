@@ -284,3 +284,24 @@ def test_short_clip_window_replicates_border(tmp_path):
     item = ds.get_item(0)
     assert item["LQs"].shape == (5, 8, 8, 3)
     assert np.isfinite(item["LQs"]).all()
+
+
+def test_flat_root_ignored_when_clip_subdirs_exist(tmp_path):
+    """Mixed layouts (frames at the root AND in subdirs) are ambiguous: the
+    subdirectory clips win and root-level frames are ignored — in particular
+    a subdir literally named 'clip' must not be clobbered."""
+    import cv2
+
+    from dynavsr_tpu.data.io import glob_clip_folders
+
+    for i in range(2):
+        cv2.imwrite(str(tmp_path / f"{i:08d}.png"),
+                    np.zeros((8, 8, 3), np.uint8))
+    sub = tmp_path / "clip"
+    sub.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(sub / f"{i:08d}.png"),
+                    np.zeros((8, 8, 3), np.uint8))
+    clips = glob_clip_folders(str(tmp_path))
+    assert set(clips) == {"clip"}
+    assert len(clips["clip"]) == 3

@@ -105,16 +105,18 @@ def main():
     # the data tree. Regenerate on mismatch (training legs use LQ_bic /
     # on-device random kernels, so existing checkpoints stay valid).
     marker = f"{data}/.sigma"
-    stale = (osp.exists(marker) and open(marker).read().strip() != repr(args.sigma))
-    if stale:
-        import shutil
+    if osp.exists(f"{data}/val/GT"):
+        old = open(marker).read().strip() if osp.exists(marker) else None
+        if old != repr(args.sigma):
+            # Marker mismatch OR a pre-marker data tree of unknown sigma:
+            # regenerate either way (the Gaussian legs are baked in).
+            import shutil
 
-        print(f"--sigma changed (was {open(marker).read().strip()}); "
-              "regenerating data tree", flush=True)
-        shutil.rmtree(data)
+            print(f"data tree sigma is {old or 'unknown'}; regenerating "
+                  f"for --sigma {args.sigma}", flush=True)
+            shutil.rmtree(data)
     if not osp.exists(f"{data}/val/GT"):
         make_data(data, args.sigma)
-        os.makedirs(data, exist_ok=True)
         with open(marker, "w") as f:
             f.write(repr(args.sigma))
     print(f"run dir: {root}", flush=True)
