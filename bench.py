@@ -8,15 +8,25 @@ The whole adapt+infer pipeline is ONE jitted function (lax.scan over the
 adaptation steps + batched inference), so the measurement includes
 everything the reference's per-clip Python loop does.
 
-vs_baseline: ratio against PYTORCH_GPU_FPS_ESTIMATE — the reference repo
-publishes no throughput numbers (SURVEY.md §6 [H]). Estimate for the SAME
-pipeline on a V100-class GPU: ~0.1 s/frame EDVR-M x4 inference at Vid4
-resolution (1.6 s for 16 frames) + 5 adaptation steps at ~0.3 s
-(fwd+bwd ~ 3x fwd on an 8-window batch) = ~3.1 s per clip -> ~5 frames/s.
-UNVERIFIED (no GPU in this environment); re-measure when one is available.
+The default run measures BOTH configurations and prints ONE JSON line:
+  value          — the groups=8 reference-parity config (the reference's
+                   EDVR ctor uses deformable groups 8, SURVEY.md §2.1 [H])
+  flagship_fps   — the TPU-flagship config (deformable_groups=1, otherwise
+                   identical EDVR-M; configs/train/train_EDVR_M_TPU.yml).
+                   Quality-parity for Gd=1 vs Gd=8 is verified under the
+                   blind-adaptation protocol — RESULTS.md round-3 matrix.
 
-Usage: python bench.py [--quick]
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline: ratio against PYTORCH_GPU_FPS_ESTIMATE. The reference repo
+publishes no throughput numbers (SURVEY.md §6 [H]); the denominator is an
+estimate DERIVED in BASELINE.md §"GPU-baseline derivation" from (a) the
+EDVR-M FLOP count at these exact shapes (XLA cost analysis), (b) published
+V100 efficiency on comparable video-restoration workloads, and (c) a
+measured torch-CPU anchor of this same pipeline (tools/torch_cpu_anchor.py,
+pure-torch replicas from tests/torch_replicas.py). UNVERIFIED on real GPU
+hardware (none in this environment) — labeled accordingly.
+
+Usage: python bench.py [--quick|--parity-only|--flagship|--edvr-l|--edvr-l-serve]
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -26,46 +36,39 @@ import json
 import sys
 import time
 
+# Derivation in BASELINE.md ("GPU-baseline derivation", round 3): FLOP-based
+# V100 estimate ~4.6 fps, torch-CPU-anchor extrapolation ~5-6 fps -> 5.0 kept.
 PYTORCH_GPU_FPS_ESTIMATE = 5.0
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true", help="tiny shapes (CPU smoke test)")
-    ap.add_argument("--flagship", action="store_true",
-                    help="TPU-flagship EDVR-M variant (deformable_groups=1); "
-                         "default is the groups=8 reference-parity config")
-    ap.add_argument("--edvr-l", action="store_true",
-                    help="EDVR-L (nf=128, back_RBs=40) supervised training "
-                         "step throughput instead of the adapt+infer metric")
-    ap.add_argument("--adapt-steps", type=int, default=5)
-    ap.add_argument("--repeats", type=int, default=5)
-    args = ap.parse_args()
-
+def _force(tree):
+    # NB: under the axon TPU tunnel neither jax.block_until_ready nor
+    # per-leaf .block_until_ready() reliably blocks; only a device->host
+    # fetch forces execution. Fetch a tiny slice of every leaf.
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    from dynavsr_tpu.utils.util import enable_compilation_cache
+    for leaf in jax.tree_util.tree_leaves(tree):
+        np.asarray(jnp.ravel(leaf)[:8])
 
-    enable_compilation_cache()  # reuse AOT executables across driver reruns
 
-    if args.edvr_l:
-        _edvr_l_bench(args)
-        return
-
+def _measure_adapt_infer(args, groups: int, nf: int = 64, front: int = 5,
+                         back: int = 10, infer_chunk: int = 0):
+    """Best-of-N adapt+infer time for one EDVR config; returns fps."""
+    import jax
     import jax.numpy as jnp
 
     from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
     from dynavsr_tpu.models.edvr import EDVR
 
     if args.quick:
-        nf, nframes, groups, front, back = 8, 3, 2, 1, 1
+        nf, nframes, groups, front, back = 8, 3, min(groups, 2), 1, 1
         h, w, n_windows, n_adapt = 16, 16, 4, 2
     else:
         # EDVR-M on Vid4-like LR frames (calendar: 180x144 at x4).
-        nf, nframes, groups, front, back = 64, 5, 8, 5, 10
+        nframes = 5
         h, w, n_windows, n_adapt = 144, 176, 16, 8
-    if args.flagship:
-        groups = 1
 
     model = EDVR(
         nf=nf, nframes=nframes, groups=groups, front_RBs=front, back_RBs=back,
@@ -82,17 +85,8 @@ def main() -> None:
 
     params = model.init(k4, lr_windows[:1])
     cfg = AdaptConfig(n_steps=args.adapt_steps, lr=1e-6, optimizer="adam",
-                      infer_chunk=0)  # single-batch inference measured fastest
+                      infer_chunk=infer_chunk)  # 0 = single-batch (fastest)
     run = make_adapt_and_infer(model, cfg)
-
-    import numpy as np
-
-    def force(tree):
-        # NB: under the axon TPU tunnel neither jax.block_until_ready nor
-        # per-leaf .block_until_ready() reliably blocks; only a device->host
-        # fetch forces execution. Fetch a tiny slice of every leaf.
-        for leaf in jax.tree_util.tree_leaves(tree):
-            np.asarray(jnp.ravel(leaf)[:8])
 
     # Pre-generate distinct inputs: the tunnel memoizes identical
     # (executable, inputs) calls, which would fake a ~0s run.
@@ -104,34 +98,99 @@ def main() -> None:
 
     # Warmup / compile.
     sr, losses = run(params, slr_windows, lr_centers, lr_windows)
-    force((sr, losses))
+    _force((sr, losses))
 
     times = []
     for lw in inputs:
         t0 = time.perf_counter()
         sr, losses = run(params, slr_windows, lr_centers, lw)
-        force((sr, losses))
+        _force((sr, losses))
         times.append(time.perf_counter() - t0)
 
     best = min(times)
     fps = n_windows / best
-    result = {
-        "metric": "edvr_m_x4_fps_per_chip_with_adaptation"
-                  + ("_flagship_gd1" if args.flagship else ""),
-        "value": round(fps, 3),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / PYTORCH_GPU_FPS_ESTIMATE, 3),
-        # The reference publishes no throughput numbers (SURVEY.md §6);
-        # vs_baseline is relative to an UNVERIFIED V100-class estimate.
-        "baseline_kind": "pytorch_gpu_estimate_unverified",
-    }
-    print(json.dumps(result))
     print(
-        f"# backend={jax.default_backend()} devices={jax.device_count()} "
+        f"# groups={groups} nf={nf} back_RBs={back} "
         f"shape=({n_windows},{nframes},{h},{w},3) adapt_steps={args.adapt_steps} "
         f"best={best:.3f}s times={[round(t, 3) for t in times]}",
         file=sys.stderr,
     )
+    return fps
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny shapes (CPU smoke test)")
+    ap.add_argument("--parity-only", action="store_true",
+                    help="measure only the groups=8 reference-parity config")
+    ap.add_argument("--flagship", action="store_true",
+                    help="measure only the TPU-flagship variant "
+                         "(deformable_groups=1)")
+    ap.add_argument("--edvr-l", action="store_true",
+                    help="EDVR-L (nf=128, back_RBs=40) supervised training "
+                         "step throughput instead of the adapt+infer metric")
+    ap.add_argument("--edvr-l-serve", action="store_true",
+                    help="EDVR-L adapt+infer serving throughput at Vid4 "
+                         "shapes (completes the backbone x workload matrix)")
+    ap.add_argument("--adapt-steps", type=int, default=5)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    from dynavsr_tpu.utils.util import enable_compilation_cache
+
+    enable_compilation_cache()  # reuse AOT executables across driver reruns
+
+    if args.edvr_l:
+        _edvr_l_bench(args)
+        return
+    if args.edvr_l_serve:
+        # EDVR-L serving: big activations at 16x5x144x176 — chunk inference
+        # into 4-window batches to bound live memory on one 16 GB chip.
+        fps = _measure_adapt_infer(args, groups=8, nf=128, back=40,
+                                   infer_chunk=4)
+        print(json.dumps({
+            "metric": "edvr_l_x4_fps_per_chip_with_adaptation",
+            "value": round(fps, 3),
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "baseline_kind": "no_published_reference_throughput",
+        }))
+        return
+
+    if args.flagship:
+        fps = _measure_adapt_infer(args, groups=1)
+        print(json.dumps({
+            "metric": "edvr_m_x4_fps_per_chip_with_adaptation_flagship_gd1",
+            "value": round(fps, 3),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(fps / PYTORCH_GPU_FPS_ESTIMATE, 3),
+            "baseline_kind": "pytorch_gpu_derived_estimate_unverified",
+        }))
+        return
+
+    fps = _measure_adapt_infer(args, groups=8)
+    result = {
+        "metric": "edvr_m_x4_fps_per_chip_with_adaptation",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / PYTORCH_GPU_FPS_ESTIMATE, 3),
+        # The reference publishes no throughput numbers (SURVEY.md §6);
+        # vs_baseline uses the BASELINE.md-derived (still GPU-unverified)
+        # V100-class estimate of this same pipeline.
+        "baseline_kind": "pytorch_gpu_derived_estimate_unverified",
+    }
+    if not args.parity_only:
+        # The TPU-flagship config in the SAME driver-captured line
+        # (round-2 VERDICT item 2: the headline number must not live
+        # only in prose).
+        ffps = _measure_adapt_infer(args, groups=1)
+        result["flagship_fps"] = round(ffps, 3)
+        result["flagship_vs_baseline"] = round(ffps / PYTORCH_GPU_FPS_ESTIMATE, 3)
+    print(json.dumps(result))
+    print(f"# backend={jax.default_backend()} devices={jax.device_count()}",
+          file=sys.stderr)
 
 
 def _edvr_l_bench(args) -> None:

@@ -11,12 +11,23 @@ embarrassingly parallel across chips (shard the clip batch over the
 per-GPU Python loop and is where the ">= 5x frames/sec/chip with
 adaptation" target comes from (BASELINE.json).
 
-BatchNorm nets (TOF/DUF): `params` here is the full variables dict, so the
-adaptation gradient flows into BN scale/bias AND the running statistics
-(eval-mode BN uses them in the forward, so they receive real gradients).
-Adapting normalization statistics to the test clip is standard test-time-
-adaptation practice; the torch reference optimizes all parameters of the
-module in train() mode, which moves the same quantities.
+BatchNorm nets (TOF/DUF) — two variants, selected by AdaptConfig.bn_mode:
+
+* ``grad_stats`` (default): `params` is the full variables dict and the
+  adaptation gradient flows into BN scale/bias AND the running statistics
+  (eval-mode BN uses them in the forward, so they receive real gradients).
+  This is a deliberate TTA variant that deviates mechanically from the
+  torch reference: there, adaptation runs the module in train() mode, so
+  the forward uses *batch* statistics and the running stats move by EMA —
+  different quantities, moved by a different mechanism. The variant is
+  validated empirically (tools/blind_adaptation_check.py; RESULTS.md).
+* ``train_ema``: reference semantics — the adaptation forward runs in
+  train mode (batch statistics), gradients update the trainable params
+  (BN stats receive exactly-zero grads in train mode), and the running
+  stats move by the module's EMA, folded back into `params` each step so
+  the post-adaptation eval-mode inference sees them. Reference:
+  test_dynavsr-style adaptation calls the torch module in train() mode
+  (SURVEY.md §3.4 [M]).
 """
 
 from __future__ import annotations
@@ -43,6 +54,9 @@ class AdaptConfig:
     optimizer: str = "adam"  # 'adam' | 'sgd' (reference uses small-lr Adam [M])
     reduction: str = "mean"
     infer_chunk: int = 0  # 0 = all windows in one batch
+    # BN nets only: 'grad_stats' (gradients into eval-mode running stats)
+    # | 'train_ema' (reference train()-mode semantics) — see module docs.
+    bn_mode: str = "grad_stats"
 
 
 def _make_tx(cfg: AdaptConfig) -> optax.GradientTransformation:
@@ -53,15 +67,49 @@ def _make_tx(cfg: AdaptConfig) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
-def make_adapt_step(vsr_model, cfg: AdaptConfig, apply_fn=None):
+def make_adapt_step(vsr_model, cfg: AdaptConfig, apply_fn=None,
+                    mutable_apply_fn=None):
     """One adaptation gradient step on a batch of (SLR window, LR center).
 
     apply_fn(params, x) overrides vsr_model.apply — e.g. a mod-padded apply
-    (models/padding.py) so pyramid nets accept arbitrary SLR sizes."""
+    (models/padding.py) so pyramid nets accept arbitrary SLR sizes.
+
+    bn_mode='train_ema': mutable_apply_fn(params, x) -> (pred, updates)
+    must run the module in train mode with mutable batch_stats (default:
+    vsr_model.clone(train=True); models/padding.make_mutable_model_apply
+    builds the padded version). The EMA'd stats are folded back into params
+    after each optimizer step."""
     from dynavsr_tpu.train.losses import charbonnier_loss
 
     tx = _make_tx(cfg)
     apply = apply_fn or vsr_model.apply
+
+    if cfg.bn_mode == "train_ema":
+        import flax.core
+
+        if mutable_apply_fn is None:
+            m = vsr_model.clone(train=True)
+            mutable_apply_fn = lambda p, x: m.apply(  # noqa: E731
+                p, x, mutable=["batch_stats"])
+
+        def loss_fn(params, slr_windows, lr_centers):
+            pred, upd = mutable_apply_fn(params, slr_windows)
+            loss = charbonnier_loss(pred, lr_centers, reduction=cfg.reduction)
+            return loss, upd
+
+        def step(params, opt_state, slr_windows, lr_centers):
+            (loss, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, slr_windows, lr_centers)
+            updates, opt_state = tx.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if "batch_stats" in upd:
+                params = flax.core.copy(
+                    params, {"batch_stats": upd["batch_stats"]})
+            return params, opt_state, loss
+
+        return tx, step
+    if cfg.bn_mode != "grad_stats":
+        raise ValueError(f"unknown bn_mode {cfg.bn_mode!r}")
 
     def loss_fn(params, slr_windows, lr_centers):
         pred = apply(params, slr_windows)
@@ -77,7 +125,7 @@ def make_adapt_step(vsr_model, cfg: AdaptConfig, apply_fn=None):
 
 
 def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True,
-                         apply_fn=None):
+                         apply_fn=None, mutable_apply_fn=None):
     """Build adapt_and_infer(params, slr_windows, lr_centers, lr_windows).
 
     slr_windows: (K, N, h/s, w/s, 3) adaptation inputs (from MFDN)
@@ -89,7 +137,7 @@ def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True,
     inference is one batched apply (optionally lax.map-chunked to bound
     memory for long clips).
     """
-    tx, step = make_adapt_step(vsr_model, cfg, apply_fn)
+    tx, step = make_adapt_step(vsr_model, cfg, apply_fn, mutable_apply_fn)
     apply = apply_fn or vsr_model.apply
 
     def run(params, slr_windows, lr_centers, lr_windows):
@@ -120,7 +168,7 @@ def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True,
 
 
 def make_adapt_and_infer_batched(vsr_model, cfg: AdaptConfig, mesh=None,
-                                 apply_fn=None):
+                                 apply_fn=None, mutable_apply_fn=None):
     """Clip-parallel adaptation (SURVEY.md §2.6): vmap the whole per-clip
     adapt+infer over a leading clips axis and shard clips over the
     ('data',) mesh — each chip adapts ITS OWN clips concurrently, replacing
@@ -131,7 +179,8 @@ def make_adapt_and_infer_batched(vsr_model, cfg: AdaptConfig, mesh=None,
       lr_centers (C, K, h, w, 3), lr_windows (C, F, N, h, w, 3)
     Returns sr (C, F, H, W, 3), losses (C, n_steps).
     """
-    single = make_adapt_and_infer(vsr_model, cfg, jit=False, apply_fn=apply_fn)
+    single = make_adapt_and_infer(vsr_model, cfg, jit=False, apply_fn=apply_fn,
+                                  mutable_apply_fn=mutable_apply_fn)
     fn = jax.vmap(single, in_axes=(None, 0, 0, 0))
     if mesh is None:
         return jax.jit(fn)

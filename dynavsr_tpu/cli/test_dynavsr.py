@@ -62,12 +62,14 @@ def main(argv=None):
 
     a = opt.get("adapt") or {}
     ic = a.get("infer_chunk")
+    # None-check, not `or`: explicit n_steps: 0 (adaptation disabled) /
+    # lr: 0 / infer_chunk: 0 are all meaningful and must not fall through
+    # to the defaults.
     cfg = AdaptConfig(
-        n_steps=int(a.get("n_steps") or 5),
-        lr=float(a.get("lr") or 1e-6),
+        n_steps=5 if a.get("n_steps") is None else int(a["n_steps"]),
+        lr=1e-6 if a.get("lr") is None else float(a["lr"]),
         optimizer=a.get("optimizer") or "adam",
-        # 0 = single-batch inference (the fastest measured mode) — must not
-        # fall through the `or` default.
+        bn_mode=a.get("bn_mode") or "grad_stats",
         infer_chunk=8 if ic is None else int(ic),
     )
     # Mod-pad both the SLR pseudo-task inputs and the LR inference windows
@@ -78,7 +80,13 @@ def main(argv=None):
 
     which = (opt["network_G"] or {}).get("which_model_G")
     padded_apply = make_model_apply(vsr.netG, which, scale)
-    run = make_adapt_and_infer(vsr.netG, cfg, apply_fn=padded_apply)
+    mutable_apply = None
+    if cfg.bn_mode == "train_ema":
+        from dynavsr_tpu.models.padding import make_mutable_model_apply
+
+        mutable_apply = make_mutable_model_apply(vsr.netG, which, scale)
+    run = make_adapt_and_infer(vsr.netG, cfg, apply_fn=padded_apply,
+                               mutable_apply_fn=mutable_apply)
 
     results = {}
     for name, dataset_opt in (opt["datasets"] or {}).items():
@@ -128,7 +136,8 @@ def main(argv=None):
                 (-1,) + adapt_w.shape[2:]))
             slr_w = slr_w.reshape(adapt_w.shape[:2] + slr_w.shape[1:])
             run_b = make_adapt_and_infer_batched(
-                vsr.netG, cfg, mesh=mesh, apply_fn=padded_apply)
+                vsr.netG, cfg, mesh=mesh, apply_fn=padded_apply,
+                mutable_apply_fn=mutable_apply)
             sr_all, losses_all = run_b(
                 vsr.state.params, slr_w, jnp.asarray(lr_c), jnp.asarray(lr_w))
             sr_all = np.asarray(sr_all)

@@ -38,6 +38,8 @@ __all__ = [
 
 REDS4_CLIPS = ("000", "011", "015", "020")  # REDS_dataset.py exclusion [H]
 
+_warned_direct_access = False  # one warning per process for bare ds[i]
+
 
 def augment(
     imgs: List[np.ndarray], hflip: bool, vflip: bool, rot90: bool
@@ -139,6 +141,22 @@ class REDSDataset:
         # reproduces bit-identical crops/flips — reference DistIterSampler
         # determinism [H], extended to augmentation.
         if rng is None:
+            # Direct ds[i] access is a TEST/DEBUG convenience: the rng is a
+            # function of the index alone, so crops/flips repeat every
+            # epoch. Training must go through the loader, which passes an
+            # rng derived from (seed, epoch, stream position). Warn once so
+            # the degraded augmentation statistics can't pass silently.
+            global _warned_direct_access
+            if not _warned_direct_access:
+                _warned_direct_access = True
+                import warnings
+
+                warnings.warn(
+                    "REDSDataset accessed directly (ds[i]) without a loader "
+                    "rng: augmentation is index-only (epoch-invariant). "
+                    "Fine for tests; use the DataLoader for training.",
+                    stacklevel=2,
+                )
             # int seed, not hash(tuple-with-str): str hashes are
             # PYTHONHASHSEED-randomized per process and would break the
             # determinism contract for direct ds[i] access.

@@ -17,7 +17,8 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mod_pad_apply", "arch_mod", "tof_raw_mod", "make_model_apply"]
+__all__ = ["mod_pad_apply", "arch_mod", "tof_raw_mod", "make_model_apply",
+           "make_mutable_model_apply"]
 
 
 def arch_mod(which: str) -> int:
@@ -61,6 +62,44 @@ def make_model_apply(netG, which: Optional[str], scale: int,
     mod = tof_raw_mod(scale) if which == "TOF" else arch_mod(which)
     return lambda p, x: mod_pad_apply(
         lambda xx: apply(p, xx), x, mod=mod, scale=scale)
+
+
+def make_mutable_model_apply(netG, which: Optional[str], scale: int) -> Callable:
+    """Train-mode variant of make_model_apply for BN nets (TOF/DUF):
+    (params, raw-LR windows) -> (SR, {'batch_stats': ...}) with the module
+    run in train mode and mutable batch_stats — the forward the reference's
+    train()-mode test-time adaptation uses (adapt/adaptation.py
+    bn_mode='train_ema'). Same per-arch input conventions as
+    make_model_apply; the mutable updates tunnel through the padding crop
+    untouched."""
+    m = netG.clone(train=True)
+
+    def base(p, x, box):
+        out, upd = m.apply(p, x, mutable=["batch_stats"])
+        box["upd"] = upd
+        return out
+
+    if which == "TOF" and not getattr(netG, "pre_upscale", False):
+        from dynavsr_tpu.data.resize import imresize_batched
+
+        def tof_apply(p, x):
+            b, n, h, w, c = x.shape
+            up = imresize_batched(x.reshape(b * n, h, w, c), float(scale))
+            up = up.reshape(b, n, h * scale, w * scale, c)
+            box = {}
+            out = mod_pad_apply(
+                lambda xx: base(p, xx, box), up, mod=arch_mod("TOF"), scale=1)
+            return out, box["upd"]
+
+        return tof_apply
+    mod = tof_raw_mod(scale) if which == "TOF" else arch_mod(which)
+
+    def padded(p, x):
+        box = {}
+        out = mod_pad_apply(lambda xx: base(p, xx, box), x, mod=mod, scale=scale)
+        return out, box["upd"]
+
+    return padded
 
 
 def mod_pad_apply(

@@ -5,6 +5,11 @@ synthetic clip tree, driven through the real entry points (config YAML ->
 cli.train -> checkpoint dir -> cli.test -> PSNR numbers).
 """
 
+import pytest
+
+# Compile-heavy on CPU: behind the slow marker (pytest.ini; VERDICT r2 #8).
+pytestmark = pytest.mark.slow
+
 import os
 import os.path as osp
 import textwrap

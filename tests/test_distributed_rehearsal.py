@@ -12,6 +12,11 @@ over localhost, then checks the pieces the trainer relies on:
     gradient all-reduce path; gloo CPU collectives).
 """
 
+import pytest
+
+# Compile-heavy on CPU: behind the slow marker (pytest.ini; VERDICT r2 #8).
+pytestmark = pytest.mark.slow
+
 import os
 import socket
 import subprocess

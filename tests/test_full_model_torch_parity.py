@@ -11,6 +11,11 @@ OIHW->HWIO / OIDHW->DHWIO transposes, scan-trunk stacking, BN stat
 conversion, and the DCN channel-layout contract end to end.
 """
 
+import pytest
+
+# Compile-heavy on CPU: behind the slow marker (pytest.ini; VERDICT r2 #8).
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 import torch

@@ -1,5 +1,10 @@
 """Shape/grad smoke tests for all architectures (tiny shapes, CPU)."""
 
+import pytest
+
+# Compile-heavy on CPU: behind the slow marker (pytest.ini; VERDICT r2 #8).
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

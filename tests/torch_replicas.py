@@ -187,7 +187,7 @@ class TSA_Fusion(nn.Module):
     def forward(self, aligned_fea):  # (B, N, C, H, W)
         b, n, c, h, w = aligned_fea.shape
         emb_ref = self.tAtt_2(aligned_fea[:, self.center])
-        emb = self.tAtt_1(aligned_fea.view(b * n, c, h, w)).view(b, n, -1, h, w)
+        emb = self.tAtt_1(aligned_fea.reshape(b * n, c, h, w)).view(b, n, -1, h, w)
         cor = (emb * emb_ref.unsqueeze(1)).sum(2)  # (B, N, H, W)
         cor_prob = torch.sigmoid(cor).unsqueeze(2)
         fea = (aligned_fea * cor_prob).view(b, n * c, h, w)
