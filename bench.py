@@ -126,6 +126,9 @@ def main() -> None:
     ap.add_argument("--flagship", action="store_true",
                     help="measure only the TPU-flagship variant "
                          "(deformable_groups=1)")
+    ap.add_argument("--groups", type=int, default=None,
+                    help="measure only a deformable_groups=N EDVR-M variant "
+                         "(the Gd Pareto knob — RESULTS.md round-3 frontier)")
     ap.add_argument("--edvr-l", action="store_true",
                     help="EDVR-L (nf=128, back_RBs=40) supervised training "
                          "step throughput instead of the adapt+infer metric")
@@ -159,10 +162,12 @@ def main() -> None:
         }))
         return
 
-    if args.flagship:
-        fps = _measure_adapt_infer(args, groups=1)
+    if args.flagship or args.groups is not None:
+        g = 1 if args.flagship else args.groups
+        fps = _measure_adapt_infer(args, groups=g)
         print(json.dumps({
-            "metric": "edvr_m_x4_fps_per_chip_with_adaptation_flagship_gd1",
+            "metric": f"edvr_m_x4_fps_per_chip_with_adaptation_gd{g}"
+                      + ("_flagship" if g == 1 else ""),
             "value": round(fps, 3),
             "unit": "frames/sec/chip",
             "vs_baseline": round(fps / PYTORCH_GPU_FPS_ESTIMATE, 3),
