@@ -11,9 +11,11 @@ embarrassingly parallel across chips (shard the clip batch over the
 per-GPU Python loop and is where the ">= 5x frames/sec/chip with
 adaptation" target comes from (BASELINE.json).
 
-BatchNorm nets (TOF/DUF) — two variants, selected by AdaptConfig.bn_mode:
+BatchNorm nets (TOF/DUF) — two variants, selected by AdaptConfig.bn_mode
+(default ``auto`` = ``train_ema`` for BN nets, measured better-or-tie —
+RESULTS.md round 3: TOF +2.48 vs +1.30 dB, DUF tie):
 
-* ``grad_stats`` (default): `params` is the full variables dict and the
+* ``grad_stats``: `params` is the full variables dict and the
   adaptation gradient flows into BN scale/bias AND the running statistics
   (eval-mode BN uses them in the forward, so they receive real gradients).
   This is a deliberate TTA variant that deviates mechanically from the
@@ -44,6 +46,7 @@ __all__ = [
     "make_adapt_and_infer_batched",
     "make_adapt_step",
     "batch_clips",
+    "resolve_bn_mode",
 ]
 
 
@@ -54,9 +57,26 @@ class AdaptConfig:
     optimizer: str = "adam"  # 'adam' | 'sgd' (reference uses small-lr Adam [M])
     reduction: str = "mean"
     infer_chunk: int = 0  # 0 = all windows in one batch
-    # BN nets only: 'grad_stats' (gradients into eval-mode running stats)
-    # | 'train_ema' (reference train()-mode semantics) — see module docs.
-    bn_mode: str = "grad_stats"
+    # BN nets only — 'auto' resolves to 'train_ema' (reference train()-mode
+    # semantics) for modules with a train flag (TOF/DUF) and 'grad_stats'
+    # otherwise. Measured (RESULTS.md round 3): train_ema +1.18 dB on TOF,
+    # tie on DUF — the reference semantics is the default for a reason.
+    bn_mode: str = "auto"
+
+
+def resolve_bn_mode(bn_mode: str, vsr_model) -> str:
+    """'auto' -> 'train_ema' for modules exposing a `train` flag (the BN
+    nets TOF/DUF), 'grad_stats' otherwise (EDVR has no BN; the train_ema
+    machinery would be dead weight)."""
+    if bn_mode != "auto":
+        return bn_mode
+    import dataclasses as dc
+
+    try:
+        has_train = any(f.name == "train" for f in dc.fields(type(vsr_model)))
+    except TypeError:
+        has_train = False
+    return "train_ema" if has_train else "grad_stats"
 
 
 def _make_tx(cfg: AdaptConfig) -> optax.GradientTransformation:
@@ -84,7 +104,8 @@ def make_adapt_step(vsr_model, cfg: AdaptConfig, apply_fn=None,
     tx = _make_tx(cfg)
     apply = apply_fn or vsr_model.apply
 
-    if cfg.bn_mode == "train_ema":
+    bn_mode = resolve_bn_mode(cfg.bn_mode, vsr_model)
+    if bn_mode == "train_ema":
         import flax.core
 
         if mutable_apply_fn is None:
@@ -108,8 +129,8 @@ def make_adapt_step(vsr_model, cfg: AdaptConfig, apply_fn=None,
             return params, opt_state, loss
 
         return tx, step
-    if cfg.bn_mode != "grad_stats":
-        raise ValueError(f"unknown bn_mode {cfg.bn_mode!r}")
+    if bn_mode != "grad_stats":
+        raise ValueError(f"unknown bn_mode {bn_mode!r}")
 
     def loss_fn(params, slr_windows, lr_centers):
         pred = apply(params, slr_windows)

@@ -69,7 +69,9 @@ def main(argv=None):
         n_steps=5 if a.get("n_steps") is None else int(a["n_steps"]),
         lr=1e-6 if a.get("lr") is None else float(a["lr"]),
         optimizer=a.get("optimizer") or "adam",
-        bn_mode=a.get("bn_mode") or "grad_stats",
+        # 'auto' -> reference train()-mode BN semantics for TOF/DUF
+        # (measured better/tie — RESULTS.md round 3), plain for EDVR.
+        bn_mode=a.get("bn_mode") or "auto",
         infer_chunk=8 if ic is None else int(ic),
     )
     # Mod-pad both the SLR pseudo-task inputs and the LR inference windows
@@ -81,7 +83,9 @@ def main(argv=None):
     which = (opt["network_G"] or {}).get("which_model_G")
     padded_apply = make_model_apply(vsr.netG, which, scale)
     mutable_apply = None
-    if cfg.bn_mode == "train_ema":
+    from dynavsr_tpu.adapt.adaptation import resolve_bn_mode
+
+    if resolve_bn_mode(cfg.bn_mode, vsr.netG) == "train_ema":
         from dynavsr_tpu.models.padding import make_mutable_model_apply
 
         mutable_apply = make_mutable_model_apply(vsr.netG, which, scale)

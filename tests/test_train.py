@@ -328,6 +328,17 @@ def test_adapt_train_ema_bn_mode():
     assert any(not np.allclose(a, b) for a, b in zip(w0, w1))
 
 
+def test_resolve_bn_mode_auto():
+    """'auto' routes BN nets (train flag) to train_ema, EDVR to grad_stats."""
+    from dynavsr_tpu.adapt.adaptation import resolve_bn_mode
+    from dynavsr_tpu.models.tof import TOFlow
+
+    assert resolve_bn_mode("auto", TOFlow()) == "train_ema"
+    assert resolve_bn_mode("auto", tiny_model()) == "grad_stats"
+    assert resolve_bn_mode("grad_stats", TOFlow()) == "grad_stats"
+    assert resolve_bn_mode("train_ema", tiny_model()) == "train_ema"
+
+
 def test_eval_step_mesh_matches_single():
     """Mesh-sharded validation forward == unmeshed forward, including a
     ragged batch padded to the mesh size (round-2 VERDICT weak-spot 4)."""

@@ -143,9 +143,10 @@ def main():
     ap.add_argument("--nf", type=int, default=32)
     ap.add_argument("--groups", type=int, default=8,
                     help="EDVR deformable groups (1 = TPU-flagship variant)")
-    ap.add_argument("--bn-mode", default="grad_stats",
-                    choices=["grad_stats", "train_ema"],
-                    help="BN adaptation semantics (TOF/DUF)")
+    ap.add_argument("--bn-mode", default="auto",
+                    choices=["auto", "grad_stats", "train_ema"],
+                    help="BN adaptation semantics (TOF/DUF); auto = "
+                         "train_ema for BN nets (measured better/tie)")
     ap.add_argument("--arch", default="edvr", choices=["edvr", "tof", "duf"],
                     help="VSR backbone (the paper adapts EDVR/TOF/DUF)")
     ap.add_argument("--root", default=None, help="reuse an existing run dir")
