@@ -187,12 +187,17 @@ def main() -> None:
         "baseline_kind": "pytorch_gpu_derived_estimate_unverified",
     }
     if not args.parity_only:
-        # The TPU-flagship config in the SAME driver-captured line
-        # (round-2 VERDICT item 2: the headline number must not live
-        # only in prose).
+        # The TPU-flagship and recommended-deployment configs in the SAME
+        # driver-captured line (round-2 VERDICT item 2: headline numbers
+        # must not live only in prose).
         ffps = _measure_adapt_infer(args, groups=1)
         result["flagship_fps"] = round(ffps, 3)
         result["flagship_vs_baseline"] = round(ffps / PYTORCH_GPU_FPS_ESTIMATE, 3)
+        # Gd=2: the measured Pareto point (RESULTS.md round-3 frontier —
+        # within 0.35 dB of the Gd=8 parity config at ~2.5x its speed).
+        g2 = _measure_adapt_infer(args, groups=2)
+        result["gd2_fps"] = round(g2, 3)
+        result["gd2_vs_baseline"] = round(g2 / PYTORCH_GPU_FPS_ESTIMATE, 3)
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} devices={jax.device_count()}",
           file=sys.stderr)
