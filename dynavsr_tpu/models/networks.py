@@ -51,8 +51,10 @@ def define_G(opt: Mapping[str, Any]):
             dtype=dt,
         )
     if which == "TOF":
+        s2d = opt_net.get("s2d_conv")
         return TOFlow(dtype=dt, scale=scale,
-                      pre_upscale=bool(opt_net.get("pre_upscale")))
+                      pre_upscale=bool(opt_net.get("pre_upscale")),
+                      s2d=True if s2d is None else bool(s2d))
     if which == "DUF_16L":
         return DUF(scale=scale, dense1_layers=3, dtype=dt)
     if which == "DUF_28L":

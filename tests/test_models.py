@@ -186,6 +186,29 @@ def test_tof_pre_upscale_equivalence():
         np.asarray(out_raw), np.asarray(out_up), atol=1e-6)
 
 
+def test_tof_s2d_conv_equivalence():
+    """TOFlow(s2d=True) — the space-to-depth MXU path for SpyNet/fusion
+    convs (ops/conv_s2d.py) — must match the plain-conv path with the SAME
+    params: the param pytree is identical, only the conv schedule differs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynavsr_tpu.models.tof import TOFlow
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 7, 16, 24, 3))
+    tof_s2d = TOFlow(s2d=True)
+    tof_plain = TOFlow(s2d=False)
+    params = tof_s2d.init(jax.random.PRNGKey(3), x)
+    # identical pytrees -> checkpoints interchangeable between the paths
+    shapes = lambda t: jax.tree_util.tree_map(lambda a: a.shape, t)  # noqa: E731
+    assert shapes(params) == shapes(tof_plain.init(jax.random.PRNGKey(3), x))
+    out_s2d = tof_s2d.apply(params, x)
+    out_plain = tof_plain.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_s2d), np.asarray(out_plain), atol=5e-5, rtol=1e-5)
+
+
 def test_duf_variant_depths_forward():
     """DUF_28L/DUF_52L dispatch (networks.py define_G) and forward at tiny
     shapes — the deeper dense trunks only differ in dense1_layers."""

@@ -386,3 +386,132 @@ def test_dcn_fused_chunked_parity():
                                        atol=1e-4, rtol=1e-4)
     finally:
         set_frame_chunk_budget(_VMEM_SRC_BUDGET)
+
+
+# ---------------------------------------------------------------- conv s2d
+from dynavsr_tpu.ops.conv_s2d import ConvS2D, conv2d_s2d  # noqa: E402
+
+
+@pytest.mark.parametrize("k,cin,cout,h,w,r", [
+    (7, 8, 32, 16, 20, 2),
+    (7, 16, 2, 12, 12, 2),
+    (9, 21, 64, 18, 14, 2),
+    (3, 4, 8, 8, 8, 2),
+    (7, 8, 16, 12, 16, 4),
+])
+def test_conv_s2d_matches_plain(k, cin, cout, h, w, r):
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+    wk = jnp.asarray(rng.standard_normal((k, k, cin, cout)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, wk, (1, 1), [(k // 2, k // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    out = conv2d_s2d(x, wk, b, r=r)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+def test_conv_s2d_odd_shape_falls_back():
+    # H=13 not divisible by r: must still produce the exact stride-1 result
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 13, 11, 4)).astype(np.float32))
+    wk = jnp.asarray(rng.standard_normal((7, 7, 4, 8)).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, wk, (1, 1), [(3, 3)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(
+        np.asarray(conv2d_s2d(x, wk)), np.asarray(ref), atol=1e-5)
+
+
+def test_conv_s2d_grads_match_plain():
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    wk = jnp.asarray(rng.standard_normal((7, 7, 3, 4)).astype(np.float32) * 0.1)
+
+    def loss_plain(x, w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(3, 3)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(y * y)
+
+    def loss_s2d(x, w):
+        y = conv2d_s2d(x, w)
+        return jnp.sum(y * y)
+
+    gx_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(x, wk)
+    gx_s, gw_s = jax.grad(loss_s2d, argnums=(0, 1))(x, wk)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_p), atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_p), atol=2e-3, rtol=1e-3)
+
+
+def test_conv_s2d_module_param_tree_matches_nn_conv():
+    import flax.linen as nn
+
+    x = jnp.zeros((1, 8, 8, 5))
+    m_s2d = ConvS2D(16, (7, 7))
+    m_ref = nn.Conv(16, (7, 7))
+    p_s2d = m_s2d.init(jax.random.PRNGKey(0), x)
+    p_ref = m_ref.init(jax.random.PRNGKey(0), x)
+    shapes = lambda t: jax.tree_util.tree_map(lambda a: a.shape, t)  # noqa: E731
+    assert shapes(p_s2d) == shapes(p_ref)
+    # same params -> same function (within reordering tolerance)
+    out_s2d = m_s2d.apply(p_ref, jnp.ones((1, 8, 8, 5)))
+    out_ref = m_ref.apply(p_ref, jnp.ones((1, 8, 8, 5)))
+    np.testing.assert_allclose(np.asarray(out_s2d), np.asarray(out_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def _s2d(x, r=2):
+    b, h, w, c = x.shape
+    y = x.reshape(b, h // r, r, w // r, r, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r, r * r * c)
+
+
+def _plain(x, w):
+    p = w.shape[0] // 2
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(p, p)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("k", [3, 7, 9])
+def test_conv_s2d_packed_matches_plain(k):
+    from dynavsr_tpu.ops.conv_s2d import conv_s2d_packed, depth_to_space
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 5)).astype(np.float32))
+    wk = jnp.asarray(rng.standard_normal((k, k, 5, 6)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((6,)).astype(np.float32))
+    out = depth_to_space(conv_s2d_packed(_s2d(x), wk, b))
+    ref = _plain(x, wk) + b
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_conv_s2d_enter_packed_chain():
+    """enter -> packed -> packed -> d2s == three chained plain convs."""
+    from dynavsr_tpu.ops.conv_s2d import (
+        conv_s2d_enter, conv_s2d_packed, depth_to_space)
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 10, 14, 4)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((7, 7, 4, 8)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((7, 7, 8, 6)).astype(np.float32) * 0.1)
+    w3 = jnp.asarray(rng.standard_normal((9, 9, 6, 2)).astype(np.float32) * 0.1)
+    yp = conv_s2d_enter(x, w1)
+    yp = conv_s2d_packed(yp, w2)
+    yp = conv_s2d_packed(yp, w3)
+    out = depth_to_space(yp)
+    ref = _plain(_plain(_plain(x, w1), w2), w3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_conv_packed_1x1_matches_plain():
+    from dynavsr_tpu.ops.conv_s2d import conv_packed_1x1, depth_to_space
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)).astype(np.float32))
+    wk = jnp.asarray(rng.standard_normal((1, 1, 6, 4)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((4,)).astype(np.float32))
+    out = depth_to_space(conv_packed_1x1(_s2d(x), wk, b))
+    ref = _plain(x, wk) + b
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -44,18 +44,27 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def parse_kernel(spec: str):
-    """'iso:S' or 'aniso:SX:SY:THETA' -> (tag, kernel ndarray (13, 13))."""
+    """'iso:S' or 'aniso:SX:SY:THETA', with an optional trailing 'nSIG'
+    additive-Gaussian-noise part (e.g. 'iso:1.8:n0.03' — noise sigma in
+    [0,1] image units, applied to the LR AFTER blur-downsample).
+    Returns (tag, kernel ndarray (13, 13), noise_sigma)."""
     from dynavsr_tpu.data.degradations import anisotropic_kernel, isotropic_kernel
 
     parts = spec.split(":")
+    noise = 0.0
+    if len(parts) > 1 and parts[-1].startswith("n"):
+        noise = float(parts[-1][1:])
+        parts = parts[:-1]
+    suffix = f"n{noise:g}" if noise else ""
     if parts[0] == "iso":
         (s,) = map(float, parts[1:])
-        return f"iso{s:g}", np.asarray(isotropic_kernel(13, s))
+        return f"iso{s:g}{suffix}", np.asarray(isotropic_kernel(13, s)), noise
     if parts[0] == "aniso":
         sx, sy, th = map(float, parts[1:])
-        return f"aniso{sx:g}x{sy:g}t{th:g}", np.asarray(
-            anisotropic_kernel(13, sx, sy, th))
-    raise ValueError(f"bad kernel spec {spec!r} (iso:S | aniso:SX:SY:THETA)")
+        return f"aniso{sx:g}x{sy:g}t{th:g}{suffix}", np.asarray(
+            anisotropic_kernel(13, sx, sy, th)), noise
+    raise ValueError(
+        f"bad kernel spec {spec!r} (iso:S | aniso:SX:SY:THETA, optional :nSIG)")
 
 
 def make_gt(root: str, seed: int, n_clips: int = 4, frames: int = 14,
@@ -91,7 +100,8 @@ def make_gt(root: str, seed: int, n_clips: int = 4, frames: int = 14,
                             (np.clip(img, 0, 1) * 255).round().astype(np.uint8))
 
 
-def make_blur_leg(root: str, tag: str, kernel: np.ndarray):
+def make_blur_leg(root: str, tag: str, kernel: np.ndarray,
+                  noise_sigma: float = 0.0):
     """(GT * k) /4 val+train legs for one blind kernel, from the saved GT."""
     import cv2
 
@@ -114,6 +124,12 @@ def make_blur_leg(root: str, tag: str, kernel: np.ndarray):
                 gt = cv2.imread(f).astype(np.float32) / 255.0
                 lr = np.asarray(
                     blur_downsample(jnp.asarray(gt)[None], kernel_j, 4)[0])
+                if noise_sigma > 0:
+                    # deterministic per-frame noise (reproducible legs)
+                    nrng = np.random.default_rng(
+                        abs(hash((tag, clip, osp.basename(f)))) % 2**32)
+                    lr = lr + nrng.normal(
+                        0.0, noise_sigma, lr.shape).astype(np.float32)
                 cv2.imwrite(osp.join(out_dir, osp.basename(f)),
                             (np.clip(lr, 0, 1) * 255).round().astype(np.uint8))
 
@@ -177,10 +193,10 @@ def main():
         make_gt(data, args.seed)
         with open(marker, "w") as f:
             f.write(repr(args.seed))
-    for tag, k in kernels:
+    for tag, k, noise in kernels:
         if not osp.exists(f"{data}/val/LQ_{tag}"):
             print(f"synthesizing blind-kernel leg LQ_{tag}", flush=True)
-            make_blur_leg(data, tag, k)
+            make_blur_leg(data, tag, k, noise)
     print(f"run dir: {root}", flush=True)
 
     if args.arch == "tof":
@@ -302,7 +318,7 @@ def main():
     mfdn_params = None  # lazy init against the first val clip
 
     per_kernel = {}
-    for tag, k_true in kernels:
+    for tag, k_true, _noise in kernels:
         r_gauss = None
         yml = f"{root}/test_{tag}.yml"
         _write_yml(yml, test_opt(tag, f"LQ_{tag}"))

@@ -1,0 +1,65 @@
+"""TOF x4 serving forward bench: space-to-depth conv path on/off.
+
+Times the full TOFlow forward at Vid4 x4 serving shapes (4-window batch of
+7x576x704 pre-upscaled frames, bf16) with reps amortized INSIDE one
+executable (per-call tunnel dispatch would otherwise dominate — CLAUDE.md
+gotchas). Baseline (round 2, plain convs): 466 ms / 4 windows.
+
+Run: python tools/tof_serve_bench.py [--reps 8] [--mode both|s2d|plain]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench(s2d: bool, reps: int) -> float:
+    from dynavsr_tpu.models.tof import TOFlow
+
+    model = TOFlow(dtype=jnp.bfloat16, s2d=s2d)
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    x = jax.random.uniform(ks[0], (4, 7, 576, 704, 3))
+    params = jax.jit(model.init)(ks[1], x[:1])
+
+    def body(i, acc):
+        xi = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+        return acc + model.apply(params, xi)[0, :4, 0, 0]
+
+    f = jax.jit(lambda x: jax.lax.fori_loop(0, reps, body, jnp.zeros(4)))
+    _ = np.asarray(f(x))  # compile + warm
+    t0 = time.perf_counter()
+    _ = np.asarray(f(x + jnp.asarray(1e-5, x.dtype)))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"s2d={s2d}: {dt*1e3:.1f} ms / 4 windows = {dt/4*1e3:.1f} ms/window "
+          f"({4/dt:.2f} windows/s)", flush=True)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--mode", choices=["both", "s2d", "plain"], default="both")
+    args = ap.parse_args()
+
+    from dynavsr_tpu.utils.util import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.mode in ("plain", "both"):
+        t_plain = bench(False, args.reps)
+    if args.mode in ("s2d", "both"):
+        t_s2d = bench(True, args.reps)
+    if args.mode == "both":
+        print(f"speedup: {t_plain/t_s2d:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
