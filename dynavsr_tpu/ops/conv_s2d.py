@@ -14,9 +14,21 @@ the HBM-gather penalties that killed the Pallas alternatives, ROOFLINE.md):
     W[k, j, ci, (a,b,co)] = w[k-a, j-b, ci, co]   (zero outside 0..K-1)
 
 FLOP inflation ((K+r-1)/K)^2 (1.31x for K=7, r=2) buys r^2 more output
-lanes. Measured on TPU v5e at SpyNet x4-serving shapes
-(tools/s2d_conv_experiment.py): 1.9-2.6x per conv, 1.92x on the 5-conv
-block; the win holds for cout <= 64 with K >= 7.
+lanes. COMPOSITION IS THE HARD PART (measured, TPU v5e, full TOFlow at
+x4 serving shapes — tools/tof_serve_bench.py):
+
+  - per-conv enter/exit round-trips: 3.2x SLOWER than plain convs (XLA
+    materializes layout-conversion copies between the depth-to-space of
+    one conv and the strided entry of the next);
+  - stay-packed (enter once per conv chain, packed->packed middles via
+    s2d_pack_kernel_packed, one exit): 546 -> 343 ms / 4 windows,
+    **1.59x faster** end-to-end.
+
+The win holds for cout <= 64 with K >= 7. Cost model: a packed->packed
+middle conv for K=7 is 5x5 over 4cin->4cout = 2.04x the FLOPs (only
+49/100 of the packed taps are nonzero) against 4x the output lanes, so
+cout<=32 middles win ~2x, cout=64 middles are ~breakeven, and the
+transpose-free composition is what makes the whole chain profitable.
 """
 
 from __future__ import annotations
