@@ -135,6 +135,9 @@ def main() -> None:
     ap.add_argument("--edvr-l-serve", action="store_true",
                     help="EDVR-L adapt+infer serving throughput at Vid4 "
                          "shapes (completes the backbone x workload matrix)")
+    ap.add_argument("--tof-serve", action="store_true",
+                    help="TOF x4 serving forward throughput (phase-packed "
+                         "space-to-depth conv path — ops/conv_s2d.py)")
     ap.add_argument("--adapt-steps", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
@@ -157,6 +160,17 @@ def main() -> None:
             "metric": "edvr_l_x4_fps_per_chip_with_adaptation",
             "value": round(fps, 3),
             "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "baseline_kind": "no_published_reference_throughput",
+        }))
+        return
+
+    if args.tof_serve:
+        ms = _measure_tof_serve(args)
+        print(json.dumps({
+            "metric": "tof_x4_serving_ms_per_window",
+            "value": round(ms, 2),
+            "unit": "ms/window",
             "vs_baseline": None,
             "baseline_kind": "no_published_reference_throughput",
         }))
@@ -198,9 +212,42 @@ def main() -> None:
         g2 = _measure_adapt_infer(args, groups=2)
         result["gd2_fps"] = round(g2, 3)
         result["gd2_vs_baseline"] = round(g2 / PYTORCH_GPU_FPS_ESTIMATE, 3)
+        # Secondary backbone: TOF serving (packed space-to-depth convs).
+        result["tof_serve_ms_per_window"] = round(_measure_tof_serve(args), 2)
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} devices={jax.device_count()}",
           file=sys.stderr)
+
+
+def _measure_tof_serve(args) -> float:
+    """TOF x4 serving forward, ms/window. Repeats are amortized INSIDE one
+    executable (the forward is ~0.3 s — per-call tunnel dispatch would
+    contaminate the measurement; cf. tools/tof_serve_bench.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynavsr_tpu.models.tof import TOFlow
+
+    b, t, h, w = (1, 3, 48, 64) if args.quick else (4, 7, 576, 704)
+    reps = max(2, min(args.repeats, 8))
+    model = TOFlow(dtype=jnp.bfloat16)
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    x = jax.random.uniform(ks[0], (b, t, h, w, 3))
+    params = jax.jit(model.init)(ks[1], x[:1])
+
+    def body(i, acc):
+        xi = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+        return acc + model.apply(params, xi)[0, :4, 0, 0]
+
+    f = jax.jit(lambda x: jax.lax.fori_loop(0, reps, body, jnp.zeros(4)))
+    _ = np.asarray(f(x))  # compile + warm
+    t0 = time.perf_counter()
+    _ = np.asarray(f(x + jnp.asarray(1e-5, x.dtype)))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"# tof_serve shape=({b},{t},{h},{w},3) reps={reps} "
+          f"{dt*1e3:.1f} ms/batch", file=sys.stderr)
+    return dt / b * 1e3
 
 
 def _edvr_l_bench(args) -> None:

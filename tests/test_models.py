@@ -113,7 +113,10 @@ def test_mfdn_sfdn_shapes_and_bicubic_residual():
 def test_define_g_dispatch():
     opt = {"scale": 4, "network_G": {"which_model_G": "EDVR", "nf": 8, "back_RBs": 1, "front_RBs": 1, "groups": 2}}
     assert isinstance(define_G(opt), EDVR)
-    assert isinstance(define_G({"scale": 4, "network_G": {"which_model_G": "TOF"}}), TOFlow)
+    tof = define_G({"scale": 4, "network_G": {"which_model_G": "TOF"}})
+    assert isinstance(tof, TOFlow) and tof.s2d  # packed conv path default-on
+    assert not define_G({"scale": 4, "network_G": {
+        "which_model_G": "TOF", "s2d_conv": False}}).s2d
     assert isinstance(define_G({"scale": 4, "network_G": {"which_model_G": "DUF_16L"}}), DUF)
     assert isinstance(define_G({"scale": 4, "network_G": {"which_model_G": "MFDN"}}), MFDN)
     with pytest.raises(NotImplementedError):
