@@ -21,10 +21,18 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="edvr", choices=["edvr", "tof", "duf"],
+                    help="backbone (tof/duf complete the backbone x "
+                         "workload serving matrix; bn_mode=auto => "
+                         "reference train()-mode BN during adaptation)")
     ap.add_argument("--groups", type=int, default=8)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--windows", type=int, default=16)
     ap.add_argument("--adapt-windows", type=int, default=8)
+    ap.add_argument("--infer-chunk", type=int, default=None,
+                    help="inference chunking (default: 4 for TOF — 16 "
+                         "pre-upscaled 576x704 windows spill one chip — "
+                         "0 otherwise)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--chunk-budget", type=int, default=0,
                     help="ops.dcn_fused frame-chunk budget in bytes")
@@ -51,14 +59,38 @@ def main():
         set_dcn_impl(args.dcn_impl)
     skip = set(filter(None, args.skip.split(",")))
 
-    model = EDVR(nf=64, nframes=5, groups=args.groups, front_RBs=5,
-                 back_RBs=10, dtype=jnp.bfloat16)
     h, w, scale = 144, 176, 4
+    if args.arch == "tof":
+        from dynavsr_tpu.models.tof import TOFlow
+
+        model, which, nframes = TOFlow(dtype=jnp.bfloat16, pre_upscale=True,
+                                       scale=4), "TOF", 5
+        chunk = 4 if args.infer_chunk is None else args.infer_chunk
+    elif args.arch == "duf":
+        from dynavsr_tpu.models.duf import DUF
+
+        model, which, nframes = DUF(scale=4, dense1_layers=3,
+                                    dtype=jnp.bfloat16), "DUF_16L", 7
+        chunk = 0 if args.infer_chunk is None else args.infer_chunk
+    else:
+        model = EDVR(nf=64, nframes=5, groups=args.groups, front_RBs=5,
+                     back_RBs=10, dtype=jnp.bfloat16)
+        which, nframes = "EDVR", 5
+        chunk = 0 if args.infer_chunk is None else args.infer_chunk
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
-    lw = jax.random.uniform(ks[0], (args.windows, 5, h, w, 3), jnp.float32)
-    slr = jax.random.uniform(ks[1], (args.adapt_windows, 5, h // scale, w // scale, 3))
+    lw = jax.random.uniform(ks[0], (args.windows, nframes, h, w, 3), jnp.float32)
+    slr = jax.random.uniform(
+        ks[1], (args.adapt_windows, nframes, h // scale, w // scale, 3))
     lrc = jax.random.uniform(ks[2], (args.adapt_windows, h, w, 3))
     params = jax.jit(model.init)(ks[3], lw[:1])
+    from dynavsr_tpu.models.padding import (
+        make_model_apply,
+        make_mutable_model_apply,
+    )
+
+    padded_apply = make_model_apply(model, which, scale)
+    mutable_apply = (make_mutable_model_apply(model, which, scale)
+                     if args.arch in ("tof", "duf") else None)
 
     def fetch(tree):
         for leaf in jax.tree_util.tree_leaves(tree):
@@ -82,7 +114,7 @@ def main():
 
     # ---- inference only (one batched forward over all windows)
     t_inf = t_adapt = t_full = float("nan")
-    fwd = jax.jit(model.apply)
+    fwd = jax.jit(padded_apply)
     infer_inputs = [
         (params, jax.random.uniform(jax.random.PRNGKey(100 + i), lw.shape))
         for i in range(args.repeats + 1)
@@ -91,8 +123,9 @@ def main():
         t_inf = timeit(fwd, infer_inputs, f"infer {args.windows} windows")
 
     # ---- adaptation only (scan of fwd+bwd+adam, no inference windows)
-    run1 = make_adapt_and_infer(model, AdaptConfig(n_steps=args.steps, lr=1e-6,
-                                                   infer_chunk=0))
+    run1 = make_adapt_and_infer(
+        model, AdaptConfig(n_steps=args.steps, lr=1e-6, infer_chunk=chunk),
+        apply_fn=padded_apply, mutable_apply_fn=mutable_apply)
     one_w = lw[:1]
     adapt_inputs = [
         (params,

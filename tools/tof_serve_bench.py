@@ -22,12 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench(s2d: bool, reps: int) -> float:
+def bench(s2d: bool, reps: int, batch: int = 4) -> float:
     from dynavsr_tpu.models.tof import TOFlow
 
     model = TOFlow(dtype=jnp.bfloat16, s2d=s2d)
     ks = jax.random.split(jax.random.PRNGKey(0), 2)
-    x = jax.random.uniform(ks[0], (4, 7, 576, 704, 3))
+    x = jax.random.uniform(ks[0], (batch, 7, 576, 704, 3))
     params = jax.jit(model.init)(ks[1], x[:1])
 
     def body(i, acc):
@@ -39,8 +39,8 @@ def bench(s2d: bool, reps: int) -> float:
     t0 = time.perf_counter()
     _ = np.asarray(f(x + jnp.asarray(1e-5, x.dtype)))
     dt = (time.perf_counter() - t0) / reps
-    print(f"s2d={s2d}: {dt*1e3:.1f} ms / 4 windows = {dt/4*1e3:.1f} ms/window "
-          f"({4/dt:.2f} windows/s)", flush=True)
+    print(f"s2d={s2d} batch={batch}: {dt*1e3:.1f} ms/batch = "
+          f"{dt/batch*1e3:.1f} ms/window ({batch/dt:.2f} windows/s)", flush=True)
     return dt
 
 
@@ -48,15 +48,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--mode", choices=["both", "s2d", "plain"], default="both")
+    ap.add_argument("--batch", type=int, default=4)
     args = ap.parse_args()
 
     from dynavsr_tpu.utils.util import enable_compilation_cache
 
     enable_compilation_cache()
     if args.mode in ("plain", "both"):
-        t_plain = bench(False, args.reps)
+        t_plain = bench(False, args.reps, args.batch)
     if args.mode in ("s2d", "both"):
-        t_s2d = bench(True, args.reps)
+        t_s2d = bench(True, args.reps, args.batch)
     if args.mode == "both":
         print(f"speedup: {t_plain/t_s2d:.2f}x", flush=True)
 
