@@ -23,15 +23,18 @@ import jax
 import jax.numpy as jnp
 
 
-def synthesize_meta_batch(key, hr: np.ndarray, scale: int, estimator=None):
+def synthesize_meta_batch(key, hr: np.ndarray, scale: int, estimator=None,
+                          noise_range=(0.0, 0.0)):
     """Device-side (SLR, LR, centers) from HR windows (SURVEY.md §3.3).
 
     estimator: optional jitted MFDN apply — SLR = MFDN(LR) (the paper's
-    estimator-in-the-loop variant) instead of the same-kernel synthesis."""
+    estimator-in-the-loop variant) instead of the same-kernel synthesis.
+    noise_range: optional read-noise augmentation (degradations.py;
+    datasets.train.noise_range in YAML — beyond-reference extension)."""
     from dynavsr_tpu.data.degradations import synthesize_pair
 
     hr_j = jnp.asarray(hr)
-    lr, slr, _ = synthesize_pair(key, hr_j, scale)
+    lr, slr, _ = synthesize_pair(key, hr_j, scale, noise_range=noise_range)
     if estimator is not None:
         slr = estimator(lr)
     c = hr.shape[1] // 2
@@ -43,10 +46,12 @@ def synthesize_meta_batch(key, hr: np.ndarray, scale: int, estimator=None):
     }
 
 
-def synthesize_downscaler_batch(key, hr: np.ndarray, scale: int):
+def synthesize_downscaler_batch(key, hr: np.ndarray, scale: int,
+                                noise_range=(0.0, 0.0)):
     from dynavsr_tpu.data.degradations import synthesize_pair
 
-    lr, slr, _ = synthesize_pair(key, jnp.asarray(hr), scale)
+    lr, slr, _ = synthesize_pair(key, jnp.asarray(hr), scale,
+                                 noise_range=noise_range)
     return {"LR": lr, "SLR": slr}
 
 
@@ -129,6 +134,11 @@ def main(argv=None):
     which = opt.get("model", "video_base")
     scale = opt.get("scale", 4)
     key = jax.random.PRNGKey(seed)
+    # Optional read-noise augmentation for the device-side degradation
+    # synthesis (meta/downscaler training) — beyond-reference extension;
+    # see degradations.synthesize_pair and the RESULTS.md robustness matrix.
+    nr = (opt["datasets"].get("train") or {}).get("noise_range") or (0.0, 0.0)
+    noise_range = (float(nr[0]), float(nr[1]))
 
     # Optional frozen degradation estimator in the meta loop (network_E;
     # reference meta-training loads a pre-trained MFDN — SURVEY.md §3.3).
@@ -164,11 +174,13 @@ def main(argv=None):
             if which in ("video_meta", "meta", "dynavsr"):
                 key, k = jax.random.split(key)
                 model.feed_data(
-                    synthesize_meta_batch(k, batch["HR"], scale, estimator_fn))
+                    synthesize_meta_batch(k, batch["HR"], scale, estimator_fn,
+                                          noise_range=noise_range))
             elif which in ("downscaler", "estimator"):
                 key, k = jax.random.split(key)
                 src = batch.get("HR", batch.get("GT"))
-                model.feed_data(synthesize_downscaler_batch(k, src, scale))
+                model.feed_data(synthesize_downscaler_batch(
+                    k, src, scale, noise_range=noise_range))
             else:
                 model.feed_data(batch)
             model.optimize_parameters(current_step)

@@ -179,15 +179,32 @@ def duf_downsample(x: jax.Array, scale: int = 4) -> jax.Array:
 
 def synthesize_pair(key: jax.Array, hr: jax.Array, scale: int, size: int = 13,
                     sigma_range: Tuple[float, float] = (0.2, 4.0),
-                    aniso_prob: float = 0.5):
+                    aniso_prob: float = 0.5,
+                    noise_range: Tuple[float, float] = (0.0, 0.0)):
     """Device-side (LR, SLR, kernel) triple from an HR clip batch.
 
     hr: (B, T, H, W, C). One random kernel per *clip* (shared across its
     frames, like the reference's per-clip sampling), applied twice:
     LR = (HR*k) ds, SLR = (LR*k) ds. Fully jit-able.
+
+    noise_range: per-clip additive-Gaussian read-noise sigma ~ U(range)
+    applied to LR (the observation), clipped to [0,1]; SLR is then the
+    clean blur-down of the NOISY LR — exactly how a real noisy video's
+    pseudo-task is built at test time (tools/blind_adaptation_check.py
+    noise legs). (0, 0) = reference behavior (blur only). This is a
+    beyond-reference extension: the paper/reference synthesize blur-only
+    degradations, and the robustness matrix (RESULTS.md) measures what
+    noise-blind training costs.
     """
     b = hr.shape[0]
-    kernels = random_kernel_batch(key, b, size, sigma_range, aniso_prob)
+    k_kern, k_sig, k_noise = jax.random.split(key, 3)
+    kernels = random_kernel_batch(k_kern, b, size, sigma_range, aniso_prob)
     lr = blur_downsample(hr, kernels, scale)
+    if noise_range[1] > 0.0:
+        nsig = jax.random.uniform(
+            k_sig, (b,), minval=noise_range[0], maxval=noise_range[1])
+        shaped = nsig.reshape((b,) + (1,) * (lr.ndim - 1)).astype(lr.dtype)
+        lr = lr + shaped * jax.random.normal(k_noise, lr.shape, lr.dtype)
+        lr = jnp.clip(lr, 0.0, 1.0)
     slr = blur_downsample(lr, kernels, scale)
     return lr, slr, kernels

@@ -79,3 +79,24 @@ def test_synthesize_pair():
     assert lr.shape == (2, 3, 8, 8, 3)
     assert slr.shape == (2, 3, 2, 2, 3)
     assert kernels.shape == (2, 13, 13)
+
+
+def test_synthesize_pair_noise():
+    """noise_range: LR gets per-clip additive noise (clipped), SLR is the
+    blur-down of the noisy LR; (0,0) stays the clean path."""
+    import numpy as np
+
+    hr = jax.random.uniform(jax.random.PRNGKey(2), (2, 3, 32, 32, 3))
+    f = jax.jit(lambda k, x, nr: synthesize_pair(k, x, 4, noise_range=nr),
+                static_argnums=2)
+    lr0, slr0, k0 = f(jax.random.PRNGKey(3), hr, (0.0, 0.0))
+    lrn, slrn, kn = f(jax.random.PRNGKey(3), hr, (0.05, 0.05))
+    np.testing.assert_allclose(np.asarray(k0), np.asarray(kn), atol=1e-6)
+    d = np.asarray(lrn) - np.asarray(lr0)
+    # additive sigma=0.05 noise (minus clipping losses) on LR
+    assert 0.02 < d.std() < 0.08
+    assert float(np.abs(np.asarray(slrn) - np.asarray(slr0)).max()) > 1e-4
+    assert np.asarray(lrn).min() >= 0.0 and np.asarray(lrn).max() <= 1.0
+    # determinism in the key
+    lrn2, _, _ = f(jax.random.PRNGKey(3), hr, (0.05, 0.05))
+    np.testing.assert_allclose(np.asarray(lrn), np.asarray(lrn2), atol=0)

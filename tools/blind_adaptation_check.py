@@ -165,6 +165,11 @@ def main():
                          "train_ema for BN nets (measured better/tie)")
     ap.add_argument("--arch", default="edvr", choices=["edvr", "tof", "duf"],
                     help="VSR backbone (the paper adapts EDVR/TOF/DUF)")
+    ap.add_argument("--train-noise", type=float, default=0.0,
+                    help="noise-aware degradation synthesis: MFDN + meta "
+                         "legs train with noise_range [0, SIG] "
+                         "(datasets.train.noise_range; beyond-reference "
+                         "extension — A/B against the blur-only default)")
     ap.add_argument("--root", default=None, help="reuse an existing run dir")
     args = ap.parse_args()
 
@@ -238,16 +243,21 @@ def main():
     # ---- 2) MFDN on random-kernel degradations (covers the blind kernels)
     # MFDN concatenates frames along channels -> its params are N-frame
     # specific; train one per window length (7 for DUF, 5 otherwise).
-    mfdn_ckpt = f"{root}/experiments/mfdn_n{n_frames}/models/{args.mfdn_iters}_G"
+    nz = f"_nz{args.train_noise:g}" if args.train_noise > 0 else ""
+    mfdn_name = f"mfdn_n{n_frames}{nz}"
+    mfdn_ckpt = f"{root}/experiments/{mfdn_name}/models/{args.mfdn_iters}_G"
     if not osp.exists(mfdn_ckpt):
+        train_ds = {
+            "name": "synth_meta", "mode": "meta",
+            "dataroot_GT": f"{data}/train/GT",
+            "N_frames": n_frames, "GT_size": 64, "batch_size": 8, "n_workers": 2,
+            "use_shuffle": True}
+        if args.train_noise > 0:
+            train_ds["noise_range"] = [0.0, args.train_noise]
         _write_yml(f"{root}/train_mfdn.yml", {
-            "name": f"mfdn_n{n_frames}", "model": "downscaler", "scale": 4,
+            "name": mfdn_name, "model": "downscaler", "scale": 4,
             "path": {"root": root},
-            "datasets": {"train": {
-                "name": "synth_meta", "mode": "meta",
-                "dataroot_GT": f"{data}/train/GT",
-                "N_frames": n_frames, "GT_size": 64, "batch_size": 8, "n_workers": 2,
-                "use_shuffle": True}},
+            "datasets": {"train": train_ds},
             "network_G": {"which_model_G": "MFDN", "nf": 64},
             "train": {"lr_G": 1.0e-4, "lr_scheme": "constant",
                       "niter": args.mfdn_iters, "manual_seed": args.seed},
@@ -275,18 +285,21 @@ def main():
     # estimator in the loop (the paper's full recipe) before adapting.
     adapt_init_ckpt = vsr_ckpt
     if args.meta_iters > 0:
-        meta_name = f"meta_{vsr_name[4:]}"
+        meta_name = f"meta_{vsr_name[4:]}{nz}"
         meta_ckpt = f"{root}/experiments/{meta_name}/models/{args.meta_iters}_G"
         if not osp.exists(meta_ckpt):
+            meta_ds = {
+                "name": "synth_meta", "mode": "meta",
+                "dataroot_GT": f"{data}/train/GT",
+                "N_frames": n_frames, "GT_size": 64, "batch_size": 4,
+                "n_workers": 2, "use_shuffle": True}
+            if args.train_noise > 0:
+                meta_ds["noise_range"] = [0.0, args.train_noise]
             _write_yml(f"{root}/train_meta.yml", {
                 "name": meta_name, "model": "video_meta", "scale": 4,
                 "path": {"root": root, "pretrain_model_G": vsr_ckpt,
                          "pretrain_model_E": mfdn_ckpt},
-                "datasets": {"train": {
-                    "name": "synth_meta", "mode": "meta",
-                    "dataroot_GT": f"{data}/train/GT",
-                    "N_frames": n_frames, "GT_size": 64, "batch_size": 4,
-                    "n_workers": 2, "use_shuffle": True}},
+                "datasets": {"train": meta_ds},
                 "network_G": net_g,
                 "network_E": {"which_model_G": "MFDN", "nf": 64},
                 "train": {"lr_G": 1.0e-5, "lr_scheme": "constant",
@@ -383,6 +396,7 @@ def main():
         "groups": args.groups if args.arch == "edvr" else None,
         "seed": args.seed,
         "bn_mode": args.bn_mode,
+        "train_noise": args.train_noise,
         "meta_iters": args.meta_iters,
         "adapt_steps": args.adapt_steps,
         "psnr_bicubic_matched": round(psnr_bic, 4),
