@@ -183,3 +183,17 @@ def test_edvr_hr_in_forward_parity():
                   hr_in=True)
     x = np.random.default_rng(4).uniform(0, 1, (1, 3, 3, 32, 32)).astype(np.float32)
     _convert_and_compare(tmodel, fmodel, x)
+
+
+def test_duf_28l_full_forward_parity():
+    """Depth generalization of the converter: DUF-28L only differs from
+    16L in dense1_layers (9 vs 3) — catches any depth-indexed name-mapping
+    bug in convert/torch_import.py."""
+    from dynavsr_tpu.models.duf import DUF
+
+    torch.manual_seed(4)
+    tmodel = tr.DUF(scale=4, dense1_layers=9)
+    _randomize_bn(tmodel)
+    fmodel = DUF(scale=4, dense1_layers=9)
+    x = np.random.default_rng(4).uniform(0, 1, (1, 7, 3, 8, 8)).astype(np.float32)
+    _convert_and_compare(tmodel, fmodel, x)
