@@ -210,6 +210,17 @@ def test_tof_s2d_conv_equivalence():
     out_plain = tof_plain.apply(params, x)
     np.testing.assert_allclose(
         np.asarray(out_s2d), np.asarray(out_plain), atol=5e-5, rtol=1e-5)
+    # TRAIN mode too: BN on the packed (...,4,C) view must reproduce the
+    # plain path's batch statistics (forward AND the EMA'd stats) — this is
+    # what makes train_ema adaptation correct on the packed path.
+    from jax.flatten_util import ravel_pytree
+
+    o_s, m_s = tof_s2d.clone(train=True).apply(params, x, mutable=["batch_stats"])
+    o_p, m_p = tof_plain.clone(train=True).apply(params, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_p), atol=5e-5)
+    fs, _ = ravel_pytree(m_s["batch_stats"])
+    fp, _ = ravel_pytree(m_p["batch_stats"])
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(fp), atol=1e-5)
 
 
 def test_duf_variant_depths_forward():
