@@ -165,6 +165,10 @@ def main():
                          "train_ema for BN nets (measured better/tie)")
     ap.add_argument("--arch", default="edvr", choices=["edvr", "tof", "duf"],
                     help="VSR backbone (the paper adapts EDVR/TOF/DUF)")
+    ap.add_argument("--estimator", default="mfdn", choices=["mfdn", "sfdn"],
+                    help="degradation estimator: MFDN (multi-frame, "
+                         "window-length-specific) or SFDN (single-frame "
+                         "variant, window-length-agnostic) — SURVEY §2.1")
     ap.add_argument("--train-noise", type=float, default=0.0,
                     help="noise-aware degradation synthesis: MFDN + meta "
                          "legs train with noise_range [0, SIG] "
@@ -243,8 +247,12 @@ def main():
     # ---- 2) MFDN on random-kernel degradations (covers the blind kernels)
     # MFDN concatenates frames along channels -> its params are N-frame
     # specific; train one per window length (7 for DUF, 5 otherwise).
+    est_which = args.estimator.upper()  # MFDN | SFDN
     nz = f"_nz{args.train_noise:g}" if args.train_noise > 0 else ""
-    mfdn_name = f"mfdn_n{n_frames}{nz}"
+    # SFDN is per-frame -> window-length-agnostic; MFDN concatenates frames
+    # along channels -> one per window length.
+    mfdn_name = (f"mfdn_n{n_frames}{nz}" if est_which == "MFDN"
+                 else f"sfdn{nz}")
     mfdn_ckpt = f"{root}/experiments/{mfdn_name}/models/{args.mfdn_iters}_G"
     if not osp.exists(mfdn_ckpt):
         train_ds = {
@@ -258,7 +266,7 @@ def main():
             "name": mfdn_name, "model": "downscaler", "scale": 4,
             "path": {"root": root},
             "datasets": {"train": train_ds},
-            "network_G": {"which_model_G": "MFDN", "nf": 64},
+            "network_G": {"which_model_G": est_which, "nf": 64},
             "train": {"lr_G": 1.0e-4, "lr_scheme": "constant",
                       "niter": args.mfdn_iters, "manual_seed": args.seed},
             "logger": {"print_freq": 100,
@@ -301,7 +309,7 @@ def main():
                          "pretrain_model_E": mfdn_ckpt},
                 "datasets": {"train": meta_ds},
                 "network_G": net_g,
-                "network_E": {"which_model_G": "MFDN", "nf": 64},
+                "network_E": {"which_model_G": est_which, "nf": 64},
                 "train": {"lr_G": 1.0e-5, "lr_scheme": "constant",
                           "niter": args.meta_iters,
                           "maml_lr_alpha": 1.0e-5, "maml_adapt_iter": 1,
@@ -327,7 +335,7 @@ def main():
     from dynavsr_tpu.models.networks import define_G
     from dynavsr_tpu.train.checkpoint import load_network
 
-    mfdn = define_G({"scale": 4, "network_G": {"which_model_G": "MFDN", "nf": 64}})
+    mfdn = define_G({"scale": 4, "network_G": {"which_model_G": est_which, "nf": 64}})
     mfdn_params = None  # lazy init against the first val clip
 
     per_kernel = {}
@@ -363,7 +371,7 @@ def main():
             adapt_opt = test_opt(f"{tag}_adapted_{lr:g}", f"LQ_{tag}")
             adapt_opt["path"]["pretrain_model_G"] = adapt_init_ckpt
             adapt_opt["path"]["pretrain_model_E"] = mfdn_ckpt
-            adapt_opt["network_E"] = {"which_model_G": "MFDN", "nf": 64}
+            adapt_opt["network_E"] = {"which_model_G": est_which, "nf": 64}
             adapt_opt["adapt"] = {"n_steps": args.adapt_steps, "lr": lr,
                                   "optimizer": "adam", "n_windows": 8,
                                   "bn_mode": args.bn_mode}
@@ -397,6 +405,7 @@ def main():
         "seed": args.seed,
         "bn_mode": args.bn_mode,
         "train_noise": args.train_noise,
+        "estimator": args.estimator,
         "meta_iters": args.meta_iters,
         "adapt_steps": args.adapt_steps,
         "psnr_bicubic_matched": round(psnr_bic, 4),
