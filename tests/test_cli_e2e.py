@@ -134,6 +134,7 @@ def test_downscaler_train_cli(workdir, monkeypatch):
             GT_size: 32
             batch_size: 8
             n_workers: 1
+            noise_range: [0.0, 0.05]
         network_G:
           which_model_G: MFDN
           nf: 8
