@@ -204,18 +204,20 @@ def conv_packed_1x1(
     r: int = 2,
     precision: Any = None,
 ) -> jax.Array:
-    """1x1 conv applied per-phase in the packed domain via a grouped conv
-    (group = phase). Same FLOPs as the plain 1x1; avoids leaving the
-    packed layout. w: (1, 1, cin, cout) or (cin, cout)."""
-    if w.ndim == 2:
-        w = w[None, None]
+    """1x1 conv applied per-phase in the packed domain: a free reshape to
+    (..., r*r, cin) + one dot over cin. Same FLOPs/lanes as the plain
+    1x1; avoids leaving the packed layout. (A feature_group_count=r*r
+    grouped conv is equivalent but its vmap batching rule rejects an
+    unbatched kernel — clip-parallel adaptation vmaps this op.)
+    w: (1, 1, cin, cout) or (cin, cout)."""
+    if w.ndim == 4:
+        w = w[0, 0]
     g = r * r
-    wk = jnp.concatenate([w] * g, axis=3)  # group-major out channels
-    y = jax.lax.conv_general_dilated(
-        xp, wk, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=g, precision=precision,
-    )
+    cin, cout = w.shape
+    b, hp, wp, _ = xp.shape
+    x5 = xp.reshape(b, hp, wp, g, cin)
+    y5 = jnp.einsum("bhwgc,cd->bhwgd", x5, w, precision=precision)
+    y = y5.reshape(b, hp, wp, g * cout)
     if bias is not None:
         y = y + jnp.tile(bias, g).astype(y.dtype)
     return y

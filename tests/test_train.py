@@ -373,3 +373,44 @@ def test_edvr_train_step_reports_dcn_offset_metric():
     assert np.isfinite(float(m["dcn_offset_absmean"]))
     # conv_offset_mask is zero-init -> offsets exactly zero at step 1
     assert float(m["dcn_offset_absmean"]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_adapt_batched_tof_packed_8dev():
+    """TOF (packed s2d conv path + train_ema BN) clip-parallel over the
+    8-device mesh: the new conv schedule must survive vmap+shard_map AND
+    keep the per-clip result equal to the serial path."""
+    from dynavsr_tpu.adapt.adaptation import (
+        AdaptConfig, make_adapt_and_infer, make_adapt_and_infer_batched,
+    )
+    from dynavsr_tpu.models.padding import (
+        make_model_apply, make_mutable_model_apply,
+    )
+    from dynavsr_tpu.models.tof import TOFlow
+
+    assert jax.device_count() >= 8
+    mesh = data_mesh(jax.devices()[:8])
+    model = TOFlow(pre_upscale=True, scale=4)
+    n, h, w = 3, 8, 16  # raw-LR window size (pyramid-safe after x4)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, n, h, w, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    pa = make_model_apply(model, "TOF", 4)
+    ma = make_mutable_model_apply(model, "TOF", 4)
+
+    c = 8
+    lr_w = jax.random.uniform(jax.random.PRNGKey(2), (c, 2, n, h, w, 3))
+    slr = jax.random.uniform(jax.random.PRNGKey(3), (c, 2, n, 2, 4, 3))
+    lr_c = jax.random.uniform(jax.random.PRNGKey(4), (c, 2, h, w, 3))
+
+    cfg = AdaptConfig(n_steps=2, lr=1e-4)
+    batched = make_adapt_and_infer_batched(
+        model, cfg, mesh=mesh, apply_fn=pa, mutable_apply_fn=ma)
+    sr, losses = batched(params, slr, lr_c, lr_w)
+    assert sr.shape == (c, 2, h * 4, w * 4, 3)
+    assert bool(jnp.isfinite(sr).all()) and bool(jnp.isfinite(losses).all())
+
+    single = make_adapt_and_infer(model, cfg, apply_fn=pa, mutable_apply_fn=ma)
+    sr0, l0 = single(params, slr[0], lr_c[0], lr_w[0])
+    np.testing.assert_allclose(np.asarray(sr[0]), np.asarray(sr0),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(losses[0]), np.asarray(l0),
+                               rtol=1e-3, atol=1e-4)
