@@ -42,12 +42,30 @@ import optax
 
 __all__ = [
     "AdaptConfig",
+    "chunked_apply",
     "make_adapt_and_infer",
     "make_adapt_and_infer_batched",
     "make_adapt_step",
     "batch_clips",
     "resolve_bn_mode",
 ]
+
+
+def chunked_apply(apply, params, windows, chunk: int):
+    """Batched forward over (F, ...) windows, lax.map-chunked to `chunk`
+    windows per call to bound live activation memory (TOF at Vid4 x4 is
+    VMEM-bound in batch — RESULTS.md measured optimum chunk=2). chunk=0 or
+    chunk >= F runs one full batch. F is padded up to a chunk multiple by
+    zero windows (compute-only waste; the pad rows are sliced off)."""
+    if not chunk or chunk >= windows.shape[0]:
+        return apply(params, windows)
+    f = windows.shape[0]
+    n_chunks = -(-f // chunk)
+    pad = n_chunks * chunk - f
+    padded = jnp.pad(windows, [(0, pad)] + [(0, 0)] * (windows.ndim - 1))
+    chunks = padded.reshape((n_chunks, chunk) + windows.shape[1:])
+    sr = jax.lax.map(lambda w: apply(params, w), chunks)
+    return sr.reshape((n_chunks * chunk,) + sr.shape[2:])[:f]
 
 
 @dataclasses.dataclass
@@ -172,17 +190,7 @@ def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True,
         (adapted, _), losses = jax.lax.scan(
             body, (params, opt_state), None, length=cfg.n_steps)
 
-        if cfg.infer_chunk and cfg.infer_chunk < lr_windows.shape[0]:
-            f = lr_windows.shape[0]
-            chunk = cfg.infer_chunk
-            n_chunks = -(-f // chunk)
-            pad = n_chunks * chunk - f
-            padded = jnp.pad(lr_windows, [(0, pad)] + [(0, 0)] * (lr_windows.ndim - 1))
-            chunks = padded.reshape((n_chunks, chunk) + lr_windows.shape[1:])
-            sr = jax.lax.map(lambda w: apply(adapted, w), chunks)
-            sr = sr.reshape((n_chunks * chunk,) + sr.shape[2:])[:f]
-        else:
-            sr = apply(adapted, lr_windows)
+        sr = chunked_apply(apply, adapted, lr_windows, cfg.infer_chunk)
         return sr, losses
 
     return jax.jit(run) if jit else run

@@ -197,10 +197,16 @@ def synthesize_pair(key: jax.Array, hr: jax.Array, scale: int, size: int = 13,
     noise-blind training costs.
     """
     b = hr.shape[0]
-    k_kern, k_sig, k_noise = jax.random.split(key, 3)
-    kernels = random_kernel_batch(k_kern, b, size, sigma_range, aniso_prob)
+    # Kernels draw from the RAW key (not a split of it): same-seed runs
+    # must reproduce the pre-noise-feature kernel stream (the committed
+    # round-3 artifacts), and the draw must not depend on noise_range
+    # (controlled noise A/Bs see identical kernels). Noise keys are
+    # fold_in-derived — safe alongside the direct use of `key`.
+    kernels = random_kernel_batch(key, b, size, sigma_range, aniso_prob)
     lr = blur_downsample(hr, kernels, scale)
     if noise_range[1] > 0.0:
+        k_sig = jax.random.fold_in(key, 1)
+        k_noise = jax.random.fold_in(key, 2)
         nsig = jax.random.uniform(
             k_sig, (b,), minval=noise_range[0], maxval=noise_range[1])
         shaped = nsig.reshape((b,) + (1,) * (lr.ndim - 1)).astype(lr.dtype)

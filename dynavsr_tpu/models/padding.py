@@ -37,47 +37,26 @@ def tof_raw_mod(scale: int) -> int:
     return 8 // math.gcd(8, int(scale))
 
 
-def make_model_apply(netG, which: Optional[str], scale: int,
-                     raw_apply: Optional[Callable] = None) -> Callable:
-    """(params, raw-LR windows) -> SR, with per-arch input conventions.
+def _make_padded_apply(netG, which: Optional[str], scale: int,
+                       raw_apply: Optional[Callable], mutable: bool) -> Callable:
+    """Shared builder — the ONE place that encodes the per-arch input
+    conventions (TOF bicubic pre-upscale unless the module folds it in;
+    pyramid mod-padding), so the eval and train-mode forwards can never
+    drift apart. `mutable` switches the inner call to train mode with
+    mutable batch_stats; the updates tunnel through the padding crop in a
+    box and are returned alongside the output."""
+    if mutable:
+        m = netG.clone(train=True)
 
-    The ONE place that encodes them (used by eval, the adaptation CLI and
-    the meta trainer): TOF consumes bicubically pre-upscaled frames
-    (TOF_arch [H]) — applied externally here unless the module folds it in
-    (TOFlow.pre_upscale); pyramid nets get mod-padded inputs so arbitrary
-    clip/SLR sizes work like the reference's padded eval.
-    """
-    apply = raw_apply or (lambda p, x: netG.apply(p, x))
-    if which == "TOF" and not getattr(netG, "pre_upscale", False):
-        from dynavsr_tpu.data.resize import imresize_batched
+        def call(p, x, box):
+            out, upd = m.apply(p, x, mutable=["batch_stats"])
+            box["upd"] = upd
+            return out
+    else:
+        inner = raw_apply or (lambda p, x: netG.apply(p, x))
 
-        def tof_apply(p, x):
-            b, n, h, w, c = x.shape
-            up = imresize_batched(x.reshape(b * n, h, w, c), float(scale))
-            up = up.reshape(b, n, h * scale, w * scale, c)
-            return mod_pad_apply(
-                lambda xx: apply(p, xx), up, mod=arch_mod("TOF"), scale=1)
-
-        return tof_apply
-    mod = tof_raw_mod(scale) if which == "TOF" else arch_mod(which)
-    return lambda p, x: mod_pad_apply(
-        lambda xx: apply(p, xx), x, mod=mod, scale=scale)
-
-
-def make_mutable_model_apply(netG, which: Optional[str], scale: int) -> Callable:
-    """Train-mode variant of make_model_apply for BN nets (TOF/DUF):
-    (params, raw-LR windows) -> (SR, {'batch_stats': ...}) with the module
-    run in train mode and mutable batch_stats — the forward the reference's
-    train()-mode test-time adaptation uses (adapt/adaptation.py
-    bn_mode='train_ema'). Same per-arch input conventions as
-    make_model_apply; the mutable updates tunnel through the padding crop
-    untouched."""
-    m = netG.clone(train=True)
-
-    def base(p, x, box):
-        out, upd = m.apply(p, x, mutable=["batch_stats"])
-        box["upd"] = upd
-        return out
+        def call(p, x, box):
+            return inner(p, x)
 
     if which == "TOF" and not getattr(netG, "pre_upscale", False):
         from dynavsr_tpu.data.resize import imresize_batched
@@ -88,18 +67,40 @@ def make_mutable_model_apply(netG, which: Optional[str], scale: int) -> Callable
             up = up.reshape(b, n, h * scale, w * scale, c)
             box = {}
             out = mod_pad_apply(
-                lambda xx: base(p, xx, box), up, mod=arch_mod("TOF"), scale=1)
-            return out, box["upd"]
+                lambda xx: call(p, xx, box), up, mod=arch_mod("TOF"), scale=1)
+            return (out, box["upd"]) if mutable else out
 
         return tof_apply
     mod = tof_raw_mod(scale) if which == "TOF" else arch_mod(which)
 
     def padded(p, x):
         box = {}
-        out = mod_pad_apply(lambda xx: base(p, xx, box), x, mod=mod, scale=scale)
-        return out, box["upd"]
+        out = mod_pad_apply(lambda xx: call(p, xx, box), x, mod=mod, scale=scale)
+        return (out, box["upd"]) if mutable else out
 
     return padded
+
+
+def make_model_apply(netG, which: Optional[str], scale: int,
+                     raw_apply: Optional[Callable] = None) -> Callable:
+    """(params, raw-LR windows) -> SR, with per-arch input conventions
+    (used by eval, the adaptation CLI and the meta trainer): TOF consumes
+    bicubically pre-upscaled frames (TOF_arch [H]) — applied externally
+    here unless the module folds it in (TOFlow.pre_upscale); pyramid nets
+    get mod-padded inputs so arbitrary clip/SLR sizes work like the
+    reference's padded eval.
+    """
+    return _make_padded_apply(netG, which, scale, raw_apply, mutable=False)
+
+
+def make_mutable_model_apply(netG, which: Optional[str], scale: int) -> Callable:
+    """Train-mode variant of make_model_apply for BN nets (TOF/DUF):
+    (params, raw-LR windows) -> (SR, {'batch_stats': ...}) with the module
+    run in train mode and mutable batch_stats — the forward the reference's
+    train()-mode test-time adaptation uses (adapt/adaptation.py
+    bn_mode='train_ema'). Same per-arch input conventions as
+    make_model_apply, by construction (one shared builder)."""
+    return _make_padded_apply(netG, which, scale, None, mutable=True)
 
 
 def mod_pad_apply(

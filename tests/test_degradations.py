@@ -100,3 +100,15 @@ def test_synthesize_pair_noise():
     # determinism in the key
     lrn2, _, _ = f(jax.random.PRNGKey(3), hr, (0.05, 0.05))
     np.testing.assert_allclose(np.asarray(lrn), np.asarray(lrn2), atol=0)
+
+
+def test_synthesize_pair_kernel_stream_is_raw_key():
+    """Regression: the kernel draw consumes the RAW key (noise keys are
+    fold_in-derived), so same-seed runs reproduce the pre-noise-feature
+    kernel stream that produced the committed round-3 artifacts, with or
+    without noise enabled."""
+    hr = jax.random.uniform(jax.random.PRNGKey(2), (2, 3, 32, 32, 3))
+    key = jax.random.PRNGKey(7)
+    _, _, k = synthesize_pair(key, hr, 4, noise_range=(0.0, 0.05))
+    expect = random_kernel_batch(key, 2, 13, (0.2, 4.0), 0.5)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(expect), atol=0)

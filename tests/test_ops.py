@@ -515,3 +515,16 @@ def test_conv_packed_1x1_matches_plain():
     ref = _plain(x, wk) + b
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_chunked_apply_remainder_and_passthrough():
+    """adapt.chunked_apply: chunk that does not divide F pads with zero
+    windows and slices them off; chunk=0 / chunk>=F is the plain batch."""
+    from dynavsr_tpu.adapt.adaptation import chunked_apply
+
+    apply = lambda p, x: x * p + 1.0  # noqa: E731 — shape-preserving stub
+    x = jnp.arange(5 * 2 * 3, dtype=jnp.float32).reshape(5, 2, 3)
+    ref = np.asarray(apply(2.0, x))
+    for chunk in (0, 1, 2, 3, 5, 7):
+        out = np.asarray(chunked_apply(apply, 2.0, x, chunk))
+        np.testing.assert_allclose(out, ref, atol=0)

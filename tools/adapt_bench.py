@@ -45,7 +45,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
+    from dynavsr_tpu.adapt.adaptation import (
+        AdaptConfig,
+        chunked_apply,
+        make_adapt_and_infer,
+    )
     from dynavsr_tpu.models.edvr import EDVR
     from dynavsr_tpu.ops.dcn_fused import set_frame_chunk_budget
     from dynavsr_tpu.utils.util import enable_compilation_cache
@@ -112,9 +116,11 @@ def main():
               f"{[round(t, 3) for t in times]}", flush=True)
         return min(times)
 
-    # ---- inference only (one batched forward over all windows)
+    # ---- inference only — same chunking as the full pipeline, so the
+    # segment decomposition measures the memory regime actually deployed
+    # (an unchunked 16-window TOF batch would spill one 16 GB chip).
     t_inf = t_adapt = t_full = float("nan")
-    fwd = jax.jit(padded_apply)
+    fwd = jax.jit(lambda p, x: chunked_apply(padded_apply, p, x, chunk))
     infer_inputs = [
         (params, jax.random.uniform(jax.random.PRNGKey(100 + i), lw.shape))
         for i in range(args.repeats + 1)

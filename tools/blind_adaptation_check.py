@@ -102,8 +102,13 @@ def make_gt(root: str, seed: int, n_clips: int = 4, frames: int = 14,
 
 def make_blur_leg(root: str, tag: str, kernel: np.ndarray,
                   noise_sigma: float = 0.0):
-    """(GT * k) /4 val+train legs for one blind kernel, from the saved GT."""
+    """(GT * k) /4 val leg for one blind kernel, from the saved GT.
+
+    Only the val split is synthesized: supervised training reads LQ_bic,
+    MFDN/meta train from GT with on-device kernels, and every test config
+    points at val/LQ_{tag} — a train-split blur leg would be dead disk."""
     import cv2
+    import zlib
 
     import jax.numpy as jnp
 
@@ -111,7 +116,7 @@ def make_blur_leg(root: str, tag: str, kernel: np.ndarray,
     from dynavsr_tpu.data.io import glob_clip_folders
 
     kernel_j = jnp.asarray(kernel)
-    for split in ("train", "val"):
+    for split in ("val",):
         clips = glob_clip_folders(f"{root}/{split}/GT")
         for clip, frames in clips.items():
             out_dir = f"{root}/{split}/LQ_{tag}/{clip}"
@@ -125,9 +130,11 @@ def make_blur_leg(root: str, tag: str, kernel: np.ndarray,
                 lr = np.asarray(
                     blur_downsample(jnp.asarray(gt)[None], kernel_j, 4)[0])
                 if noise_sigma > 0:
-                    # deterministic per-frame noise (reproducible legs)
-                    nrng = np.random.default_rng(
-                        abs(hash((tag, clip, osp.basename(f)))) % 2**32)
+                    # deterministic per-frame noise (reproducible legs);
+                    # crc32, NOT hash() — str hashes are PYTHONHASHSEED-
+                    # randomized per process (same footgun as datasets.py).
+                    nrng = np.random.default_rng(zlib.crc32(
+                        f"{tag}/{clip}/{osp.basename(f)}".encode()))
                     lr = lr + nrng.normal(
                         0.0, noise_sigma, lr.shape).astype(np.float32)
                 cv2.imwrite(osp.join(out_dir, osp.basename(f)),
@@ -293,7 +300,13 @@ def main():
     # estimator in the loop (the paper's full recipe) before adapting.
     adapt_init_ckpt = vsr_ckpt
     if args.meta_iters > 0:
-        meta_name = f"meta_{vsr_name[4:]}{nz}"
+        # The estimator is IN the meta training loop — encode it in the
+        # cache name (mfdn_name already does) so a reused --root never
+        # serves an MFDN-meta init to an --estimator sfdn eval. The
+        # default (mfdn) keeps the historical suffix-free name so
+        # existing roots stay valid.
+        est_sfx = "" if args.estimator == "mfdn" else f"_{args.estimator}"
+        meta_name = f"meta_{vsr_name[4:]}{est_sfx}{nz}"
         meta_ckpt = f"{root}/experiments/{meta_name}/models/{args.meta_iters}_G"
         if not osp.exists(meta_ckpt):
             meta_ds = {
@@ -340,7 +353,6 @@ def main():
 
     per_kernel = {}
     for tag, k_true, _noise in kernels:
-        r_gauss = None
         yml = f"{root}/test_{tag}.yml"
         _write_yml(yml, test_opt(tag, f"LQ_{tag}"))
         r_gauss = cli_test.main(["-opt", yml, "--no-save-images"])

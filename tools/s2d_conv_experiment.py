@@ -32,36 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def s2d_kernel(w: jax.Array, r: int = 2) -> jax.Array:
-    """Embed a stride-1 (K, K, cin, cout) kernel into the phase-packed
-    stride-r ((K+r-1), (K+r-1), cin, r*r*cout) kernel."""
-    k, k2, cin, cout = w.shape
-    assert k == k2 and k % 2 == 1
-    kk = k + r - 1
-    phases = []
-    for a in range(r):
-        for b in range(r):
-            phases.append(jnp.pad(w, ((a, r - 1 - a), (b, r - 1 - b), (0, 0), (0, 0))))
-    # (kk, kk, cin, r*r, cout) -> (kk, kk, cin, r*r*cout)
-    return jnp.stack(phases, axis=3).reshape(kk, kk, cin, r * r * cout)
-
-
-def conv_s2d(x: jax.Array, w: jax.Array, r: int = 2) -> jax.Array:
-    """SAME-padded stride-1 conv via the phase-packed stride-r formulation.
-    x: (B, H, W, cin) with H % r == W % r == 0; w: (K, K, cin, cout)."""
-    k = w.shape[0]
-    b, h, wd, _ = x.shape
-    cout = w.shape[3]
-    wp = s2d_kernel(w, r)
-    p = k // 2
-    y = jax.lax.conv_general_dilated(
-        x, wp, window_strides=(r, r), padding=[(p, p), (p, p)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    # depth-to-space: (B, H/r, W/r, r, r, cout) -> (B, H, W, cout)
-    y = y.reshape(b, h // r, wd // r, r, r, cout)
-    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, wd, cout)
+# The ONE tested copy of the packing math — this tool measures the shipped
+# formulation, not a parallel re-derivation of it.
+from dynavsr_tpu.ops.conv_s2d import conv2d_s2d as conv_s2d  # noqa: E402
 
 
 def conv_plain(x: jax.Array, w: jax.Array) -> jax.Array:
