@@ -41,6 +41,42 @@ import time
 PYTORCH_GPU_FPS_ESTIMATE = 5.0
 
 
+def _arm_tunnel_watchdog():
+    """The axon TPU tunnel can WEDGE: every call hangs — even backend init —
+    across fresh processes, for hours (CLAUDE.md gotchas). A hung bench.py
+    gives the driver nothing; this daemon thread instead emits one honest
+    JSON line and exits hard if no result has printed within
+    BENCH_WATCHDOG_S (default 2700 s — the dual+gd2+tof default run pays
+    ~7 min of cold remote-AOT compiles on a fresh container plus the
+    measurements, so the bound is generous; set 0 to disable)."""
+    import os
+    import threading
+
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", "2700"))
+    if budget <= 0:
+        return
+
+    def fire():
+        print(json.dumps({
+            "metric": "edvr_m_x4_fps_per_chip_with_adaptation",
+            "value": None,
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "error": f"no result within {budget:.0f}s — "
+                     "TPU tunnel wedged or compile stalled",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(budget, fire)
+    t.daemon = True
+    t.start()
+    global _watchdog
+    _watchdog = t
+
+
+_watchdog = None
+
+
 def _force(tree):
     # NB: under the axon TPU tunnel neither jax.block_until_ready nor
     # per-leaf .block_until_ready() reliably blocks; only a device->host
@@ -148,6 +184,7 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
 
+    _arm_tunnel_watchdog()
     import jax
 
     from dynavsr_tpu.utils.util import enable_compilation_cache

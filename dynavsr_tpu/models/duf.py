@@ -10,6 +10,18 @@ residual; depth-to-space x scale. Input must be blur-matched
 TPU notes: 3D convs lower to lax.conv_general_dilated over NDHWC (MXU);
 the dynamic-filter application is extract-patches + einsum — a batched
 matmul, not a gather.
+
+s2d=True runs the dense trunk in the spatially phase-packed CHANNEL-major
+domain (ops/conv_s2d.py _cm family): the trunk's 3x3x3 convs have
+cout = growth = 32 (1/4 of the MXU's 128 output lanes) and carry ~80% of
+DUF-16L's serving FLOPs, the same lane starvation the packed path fixed
+for TOF (1.59x end-to-end — RESULTS.md). Channel-major packing makes the
+dense concat a layout no-op, so the whole trunk stays packed: one
+stride-2 entry at conv3d_1, packed 1x1x1 / 3x3x3 middles, BatchNorm on
+the free (..., C, 4) view (exact per-channel statistics, train AND eval),
+one depth-to-space exit before the full-lane 256-channel tail (where
+packing would only inflate FLOPs). Param/variable pytree is identical to
+the plain path — checkpoints interchangeable, torch-importable.
 """
 
 from __future__ import annotations
@@ -20,6 +32,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from dynavsr_tpu.ops.conv_s2d import (
+    ConvParams,
+    conv_packed_1x1_cm,
+    conv_s2d_enter_3d_cm,
+    conv_s2d_packed_3d_cm,
+    depth_to_space_cm,
+)
 from dynavsr_tpu.ops.pixelshuffle import pixel_shuffle
 
 __all__ = ["DUF", "dynamic_upsampling_filter"]
@@ -52,22 +71,62 @@ def _conv3d(features, kernel, name, dtype=None, t_valid=False):
                    dtype=dtype, name=name)
 
 
+def _conv3d_apply(y, k, b, dtype, t_valid=False):
+    """Functional NDHWC conv matching _conv3d/nn.Conv semantics exactly
+    (same padding rule, params cast to the compute dtype)."""
+    kt, kh, kw = k.shape[0], k.shape[1], k.shape[2]
+    pad_t = (0, 0) if (t_valid or kt == 1) else ((kt - 1) // 2, (kt - 1) // 2)
+    y = jax.lax.conv_general_dilated(
+        y.astype(dtype), k.astype(dtype), (1, 1, 1),
+        [pad_t, ((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return y + b.astype(y.dtype)
+
+
+def _bn_relu(bn, y, c, packed, dtype):
+    """BN+ReLU; with packed=True the BatchNorm (built with axis=-2) runs on
+    the free (..., C, 4) channel-major view — the 4 phases re-tile the same
+    pixel set, so per-channel statistics are exact in train and eval."""
+    if packed:
+        v = bn(y.reshape(y.shape[:-1] + (c, 4)))
+        return nn.relu(v).reshape(y.shape).astype(dtype)
+    return nn.relu(bn(y)).astype(dtype)
+
+
 class _DenseLayer(nn.Module):
-    """bn-relu-conv1x1x1 -> bn-relu-conv3x3x3, concat (DUF dense unit [H])."""
+    """bn-relu-conv1x1x1 -> bn-relu-conv3x3x3, concat (DUF dense unit [H]).
+
+    With s2d=True, x is the spatially packed channel-major tensor
+    (B, T, H/2, W/2, 4C); both convs run packed->packed and the dense
+    concat is layout-free (channel-major blocks concatenate natively)."""
 
     growth: int = 32
     t_valid: bool = False
     train: bool = False
     dtype: Any = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        y = nn.BatchNorm(use_running_average=not self.train, name="bn1")(x)
-        y = nn.relu(y)
-        y = _conv3d(x.shape[-1], (1, 1, 1), "conv1", self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not self.train, name="bn2")(y)
-        y = nn.relu(y)
-        y = _conv3d(self.growth, (3, 3, 3), "conv2", self.dtype, t_valid=self.t_valid)(y)
+        c = x.shape[-1] // (4 if self.s2d else 1)
+        dtype = self.dtype or x.dtype
+        ax = -2 if self.s2d else -1
+        bn1 = nn.BatchNorm(use_running_average=not self.train, axis=ax,
+                           name="bn1")
+        bn2 = nn.BatchNorm(use_running_average=not self.train, axis=ax,
+                           name="bn2")
+        k1, b1 = ConvParams(c, (1, 1, 1), name="conv1")(c)
+        k2, b2 = ConvParams(self.growth, (3, 3, 3), name="conv2")(c)
+        y = _bn_relu(bn1, x, c, self.s2d, dtype)
+        if self.s2d:
+            y = conv_packed_1x1_cm(y, k1.astype(dtype), b1.astype(dtype))
+            y = _bn_relu(bn2, y, c, True, dtype)
+            y = conv_s2d_packed_3d_cm(y, k2.astype(dtype), b2.astype(dtype),
+                                      t_valid=self.t_valid)
+        else:
+            y = _conv3d_apply(y, k1, b1, dtype)
+            y = _bn_relu(bn2, y, c, False, dtype)
+            y = _conv3d_apply(y, k2, b2, dtype, t_valid=self.t_valid)
         if self.t_valid:
             x = x[:, 1:-1]  # align T for the dense concat
         return jnp.concatenate([x, y], axis=-1)
@@ -84,22 +143,40 @@ class DUF(nn.Module):
     growth: int = 32
     train: bool = False
     dtype: Any = None
+    # Packed-trunk schedule (module docstring). Default False until the
+    # serving A/B is measured on hardware (network_G.s2d_conv in YAML);
+    # falls back to plain automatically on odd spatial sizes.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, t, h, w, c = x.shape
         r2 = self.scale**2
         x_center = x[:, t // 2]
+        packed = self.s2d and h % 2 == 0 and w % 2 == 0
+        dtype = self.dtype or x.dtype
 
-        fea = _conv3d(64, (1, 3, 3), "conv3d_1", self.dtype)(x)
+        k1, b1 = ConvParams(64, (1, 3, 3), name="conv3d_1")(c)
+        if packed:
+            fea = conv_s2d_enter_3d_cm(
+                x.astype(dtype), k1.astype(dtype), b1.astype(dtype))
+        else:
+            fea = _conv3d_apply(x, k1, b1, dtype)
         for i in range(self.dense1_layers):
             fea = _DenseLayer(self.growth, False, self.train, self.dtype,
-                              name=f"dense1_{i}")(fea)
+                              packed, name=f"dense1_{i}")(fea)
         for i in range(3):  # T: 7 -> 5 -> 3 -> 1
             fea = _DenseLayer(self.growth, True, self.train, self.dtype,
-                              name=f"dense2_{i}")(fea)
-        fea = nn.BatchNorm(use_running_average=not self.train, name="bn3d_2")(fea)
-        fea = nn.relu(fea)
+                              packed, name=f"dense2_{i}")(fea)
+        cfin = fea.shape[-1] // (4 if packed else 1)
+        bn3 = nn.BatchNorm(use_running_average=not self.train,
+                           axis=-2 if packed else -1, name="bn3d_2")
+        fea = _bn_relu(bn3, fea, cfin, packed, dtype)
+        if packed:
+            # Exit BEFORE the 256-channel tail: those convs already fill
+            # the MXU lanes, so packing them would only pay the (T/K)^2
+            # FLOP inflation for nothing.
+            fea = depth_to_space_cm(fea)
         fea = nn.relu(_conv3d(256, (1, 3, 3), "conv3d_2", self.dtype)(fea))
 
         res = nn.relu(_conv3d(256, (1, 1, 1), "conv3d_r1", self.dtype)(fea))

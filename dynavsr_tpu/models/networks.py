@@ -55,12 +55,11 @@ def define_G(opt: Mapping[str, Any]):
         return TOFlow(dtype=dt, scale=scale,
                       pre_upscale=bool(opt_net.get("pre_upscale")),
                       s2d=True if s2d is None else bool(s2d))
-    if which == "DUF_16L":
-        return DUF(scale=scale, dense1_layers=3, dtype=dt)
-    if which == "DUF_28L":
-        return DUF(scale=scale, dense1_layers=9, dtype=dt)
-    if which == "DUF_52L":
-        return DUF(scale=scale, dense1_layers=21, dtype=dt)
+    if which in ("DUF_16L", "DUF_28L", "DUF_52L"):
+        layers = {"DUF_16L": 3, "DUF_28L": 9, "DUF_52L": 21}[which]
+        # Packed-trunk schedule default-off until measured (duf.py docstring)
+        return DUF(scale=scale, dense1_layers=layers, dtype=dt,
+                   s2d=bool(opt_net.get("s2d_conv", False)))
     if which == "MFDN":
         return MFDN(scale=scale, nf=opt_net.get("nf", 64), dtype=dt)
     if which == "SFDN":

@@ -48,6 +48,13 @@ __all__ = [
     "conv_packed_1x1",
     "depth_to_space",
     "ConvS2D",
+    # channel-major 3-D (NDHWC, T passthrough) variants — DUF's dense trunk
+    "s2d_pack_kernel_3d_cm",
+    "s2d_pack_kernel_packed_cm",
+    "conv_s2d_enter_3d_cm",
+    "conv_s2d_packed_3d_cm",
+    "conv_packed_1x1_cm",
+    "depth_to_space_cm",
 ]
 
 
@@ -232,6 +239,177 @@ def depth_to_space(yp: jax.Array, r: int = 2) -> jax.Array:
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * r, wp * r, c)
 
 
+# ---------------------------------------------------------------------------
+# Channel-major 3-D variants (NDHWC, spatial-only packing, T passthrough).
+#
+# DUF's dense trunk (models/duf.py) is the target: 3x3x3 convs with
+# cout = growth = 32 (1/4 of the MXU lanes) dominating ~80% of its serving
+# FLOPs. Unlike SpyNet, the trunk CONCATENATES features after every layer
+# (dense connectivity), so the packed channel order matters: with the
+# 2-D path's PHASE-major order ((a, b, co) — pixel-shuffle-compatible),
+# concat of two packed tensors interleaves wrongly and needs a channel
+# permutation (an XLA copy — exactly the layout tax that made per-conv
+# round-trips 3.2x slower, see module docstring). CHANNEL-major order
+# (co * r^2 + phase) makes packed concat the identity:
+#     concat_cm([4C1], [4C2]) == pack_cm(concat([C1], [C2]))
+# so the whole dense chain stays packed with ZERO layout ops. BatchNorm
+# runs on the free (..., C, r^2) reshape VIEW with feature axis -2 —
+# the r^2 phases re-tile the same pixel set, so per-channel statistics
+# are exact in both eval and train mode.
+# ---------------------------------------------------------------------------
+
+
+def s2d_pack_kernel_3d_cm(w: jax.Array, r: int = 2) -> jax.Array:
+    """Embed a stride-1 (KT, K, K, cin, cout) DHWIO kernel into the
+    spatially phase-packed stride-(1, r, r) kernel
+    (KT, K+r-1, K+r-1, cin, cout*r*r), CHANNEL-major output order
+    (packed channel = co * r^2 + (a*r + b))."""
+    kt, k, k2, cin, cout = w.shape
+    if k != k2 or k % 2 == 0:
+        raise ValueError(f"square odd spatial kernel required, got {w.shape}")
+    phases = [
+        jnp.pad(w, ((0, 0), (a, r - 1 - a), (b, r - 1 - b), (0, 0), (0, 0)))
+        for a in range(r)
+        for b in range(r)
+    ]
+    st = jnp.stack(phases, axis=-1)  # (kt, kk, kk, cin, cout, r*r)
+    kk = k + r - 1
+    return st.reshape(kt, kk, kk, cin, cout * r * r)
+
+
+def _t_pad(kt: int, t_valid: bool):
+    return (0, 0) if (t_valid or kt == 1) else ((kt - 1) // 2, (kt - 1) // 2)
+
+
+def conv_s2d_enter_3d_cm(
+    x: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    r: int = 2,
+    t_valid: bool = False,
+    precision: Any = None,
+) -> jax.Array:
+    """Stride-1 (KT, K, K) conv, ORIGINAL-layout NDHWC input ->
+    spatially PACKED output (B, T', H/r, W/r, r*r*cout), channel-major.
+    H, W must divide r. T is untouched (SAME padded unless t_valid)."""
+    kt, k = w.shape[0], w.shape[1]
+    wp = s2d_pack_kernel_3d_cm(w, r)
+    y = jax.lax.conv_general_dilated(
+        x, wp, window_strides=(1, r, r),
+        padding=[_t_pad(kt, t_valid), (k // 2, k // 2), (k // 2, k // 2)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), precision=precision,
+    )
+    if bias is not None:
+        y = y + jnp.repeat(bias, r * r).astype(y.dtype)
+    return y
+
+
+def s2d_pack_kernel_packed_cm(w: jax.Array, r: int = 2):
+    """PACKED->PACKED kernel, CHANNEL-major on both sides, for a stride-1
+    (KT, K, K, cin, cout) kernel: returns ((KT, T, T, r*r*cin, r*r*cout),
+    left_pad). Same phase geometry as s2d_pack_kernel_packed (each
+    (out-phase, in-phase) pair selects one spatial parity slice of w),
+    re-assembled so packed channel = c * r^2 + phase on input AND output.
+    Only derived for r=2 (odd K)."""
+    if r != 2:
+        raise NotImplementedError("packed->packed kernels are derived for r=2")
+    kt, k, k2, cin, cout = w.shape
+    if k != k2 or k % 2 == 0:
+        raise ValueError(f"square odd spatial kernel required, got {w.shape}")
+    h = k // 2
+    us = [
+        (a + dy - h - al) // 2
+        for a in range(2) for al in range(2) for dy in range(k)
+        if (a + dy - h - al) % 2 == 0
+    ]
+    u_min, u_max = min(us), max(us)
+    t = u_max - u_min + 1
+    per_in = []
+    for al in range(2):
+        for be in range(2):
+            outs = []
+            for a in range(2):
+                for b in range(2):
+                    d0 = (h + al - a) % 2  # dy parity for this (a, alpha)
+                    e0 = (h + be - b) % 2
+                    sub = w[:, d0::2, e0::2]  # (kt, n, m, cin, cout)
+                    u0 = (a + d0 - h - al) // 2 - u_min
+                    v0 = (b + e0 - h - be) // 2 - u_min
+                    outs.append(jnp.pad(
+                        sub,
+                        ((0, 0),
+                         (u0, t - u0 - sub.shape[1]),
+                         (v0, t - v0 - sub.shape[2]), (0, 0), (0, 0))))
+            # (kt, t, t, cin, cout, 4out) — out channels (co, phase)-major
+            per_in.append(jnp.stack(outs, axis=-1))
+    # (kt, t, t, cin, 4in, cout, 4out) — in channels (ci, phase)-major
+    wp = jnp.stack(per_in, axis=4)
+    wp = wp.reshape(kt, t, t, 4 * cin, 4 * cout)
+    return wp, -u_min
+
+
+def conv_s2d_packed_3d_cm(
+    xp: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    t_valid: bool = False,
+    precision: Any = None,
+) -> jax.Array:
+    """Stride-1 (KT, K, K) conv in the spatially PACKED channel-major
+    domain: xp (B, T, H/2, W/2, 4*cin) -> (B, T', H/2, W/2, 4*cout).
+    w is the ORIGINAL (KT, K, K, cin, cout) kernel."""
+    wp, lpad = s2d_pack_kernel_packed_cm(w, 2)
+    kt, t = wp.shape[0], wp.shape[1]
+    y = jax.lax.conv_general_dilated(
+        xp, wp, window_strides=(1, 1, 1),
+        padding=[_t_pad(kt, t_valid),
+                 (lpad, t - 1 - lpad), (lpad, t - 1 - lpad)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), precision=precision,
+    )
+    if bias is not None:
+        y = y + jnp.repeat(bias, 4).astype(y.dtype)
+    return y
+
+
+def conv_packed_1x1_cm(
+    xp: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    r: int = 2,
+    precision: Any = None,
+) -> jax.Array:
+    """1x1(x1) conv in the channel-major packed domain: a free reshape to
+    (..., cin, r*r) + one dot over cin — same FLOPs/lanes as the plain
+    1x1, zero layout ops. w: (..., cin, cout) with any number of leading
+    size-1 kernel dims (e.g. (1, 1, 1, cin, cout))."""
+    while w.ndim > 2:
+        if w.shape[0] != 1:
+            raise ValueError(f"not a 1x1 kernel: {w.shape}")
+        w = w[0]
+    g = r * r
+    cin, cout = w.shape
+    lead = xp.shape[:-1]
+    x5 = xp.reshape(lead + (cin, g))
+    y5 = jnp.einsum("...cp,cd->...dp", x5, w, precision=precision)
+    y = y5.reshape(lead + (cout * g,))
+    if bias is not None:
+        y = y + jnp.repeat(bias, g).astype(y.dtype)
+    return y
+
+
+def depth_to_space_cm(yp: jax.Array, r: int = 2) -> jax.Array:
+    """Channel-major packed (..., H/r, W/r, C*r*r) -> original
+    (..., H, W, C). Inverse of the _cm packing (channel = c*r^2 + a*r+b)."""
+    lead = yp.shape[:-3]
+    hp, wp, crr = yp.shape[-3:]
+    c = crr // (r * r)
+    n = len(lead)
+    y = yp.reshape(lead + (hp, wp, c, r, r))
+    # (..., hp, wp, c, a, b) -> (..., hp, a, wp, b, c)
+    perm = tuple(range(n)) + (n, n + 3, n + 1, n + 4, n + 2)
+    return y.transpose(perm).reshape(lead + (hp * r, wp * r, c))
+
+
 class ConvParams(nn.Module):
     """Registers conv params with the exact nn.Conv pytree
     ({'kernel': (K, K, cin, cout), 'bias': (cout,)}) WITHOUT fixing the
@@ -245,10 +423,10 @@ class ConvParams(nn.Module):
 
     @nn.compact
     def __call__(self, cin: int):
-        k = tuple(self.kernel_size)
+        k = tuple(self.kernel_size)  # any spatial rank (2-D convs, DUF's 3-D)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (k[0], k[1], cin, self.features), jnp.float32)
+            k + (cin, self.features), jnp.float32)
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)

@@ -238,3 +238,41 @@ def test_duf_variant_depths_forward():
         y = net.apply(p, x)
         assert y.shape == (1, 32, 32, 3)
         assert bool(jnp.isfinite(y).all())
+
+
+def test_duf_s2d_conv_equivalence():
+    """DUF(s2d=True) — the channel-major packed trunk (ops/conv_s2d.py _cm
+    family) — must match the plain path with the SAME params: identical
+    pytree (checkpoints interchangeable / torch-importable), equal eval
+    and train-mode forwards, and equal EMA'd batch statistics (what makes
+    train_ema adaptation correct on the packed path)."""
+    import jax
+    import numpy as np
+    from jax.flatten_util import ravel_pytree
+
+    from dynavsr_tpu.models.duf import DUF
+    from dynavsr_tpu.models.networks import define_G
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 7, 16, 20, 3))
+    duf_s2d = DUF(scale=4, dense1_layers=3, s2d=True)
+    duf_plain = DUF(scale=4, dense1_layers=3)
+    params = duf_s2d.init(jax.random.PRNGKey(3), x)
+    shapes = lambda t: jax.tree_util.tree_map(lambda a: a.shape, t)  # noqa: E731
+    assert shapes(params) == shapes(duf_plain.init(jax.random.PRNGKey(3), x))
+    np.testing.assert_allclose(
+        np.asarray(duf_s2d.apply(params, x)),
+        np.asarray(duf_plain.apply(params, x)), atol=5e-5, rtol=1e-5)
+    o_s, m_s = duf_s2d.clone(train=True).apply(params, x, mutable=["batch_stats"])
+    o_p, m_p = duf_plain.clone(train=True).apply(params, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_p), atol=5e-5)
+    fs, _ = ravel_pytree(m_s["batch_stats"])
+    fp, _ = ravel_pytree(m_p["batch_stats"])
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(fp), atol=1e-5)
+    # YAML knob: default OFF for DUF (unmeasured), on via s2d_conv
+    assert not define_G({"scale": 4, "network_G": {"which_model_G": "DUF_16L"}}).s2d
+    assert define_G({"scale": 4, "network_G": {
+        "which_model_G": "DUF_16L", "s2d_conv": True}}).s2d
+    # odd spatial sizes fall back to the plain schedule (no crash)
+    xo = jax.random.uniform(jax.random.PRNGKey(4), (1, 7, 9, 11, 3))
+    po = duf_s2d.init(jax.random.PRNGKey(5), xo)
+    assert duf_s2d.apply(po, xo).shape == (1, 36, 44, 3)

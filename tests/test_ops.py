@@ -528,3 +528,87 @@ def test_chunked_apply_remainder_and_passthrough():
     for chunk in (0, 1, 2, 3, 5, 7):
         out = np.asarray(chunked_apply(apply, 2.0, x, chunk))
         np.testing.assert_allclose(out, ref, atol=0)
+
+
+def test_conv_s2d_3d_cm_family_matches_plain():
+    """Channel-major 3-D s2d family (DUF trunk): enter + packed 3x3x3
+    (SAME and t_valid T) + packed 1x1x1 + depth-to-space each match the
+    plain NDHWC convs, and channel-major packed concat IS the packed
+    concat (the property that keeps DUF's dense chain layout-free)."""
+    from dynavsr_tpu.ops.conv_s2d import (
+        conv_packed_1x1_cm,
+        conv_s2d_enter_3d_cm,
+        conv_s2d_packed_3d_cm,
+        depth_to_space_cm,
+    )
+
+    def plain(x, w, b, t_valid=False):
+        kt, k = w.shape[0], w.shape[1]
+        pt = (0, 0) if (t_valid or kt == 1) else ((kt - 1) // 2,) * 2
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), [pt, (k // 2,) * 2, (k // 2,) * 2],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y + b
+
+    rng = np.random.default_rng(5)
+    t = lambda *s: jnp.asarray(  # noqa: E731
+        rng.standard_normal(s).astype(np.float32) * 0.2)
+    x = t(2, 5, 8, 12, 6)
+    w1, b1 = t(1, 3, 3, 6, 7), t(7)
+    w2, b2 = t(3, 3, 3, 7, 5), t(5)
+    w4, b4 = t(1, 1, 1, 7, 9), t(9)
+
+    yp = conv_s2d_enter_3d_cm(x, w1, b1)
+    r1 = plain(x, w1, b1)
+    np.testing.assert_allclose(np.asarray(depth_to_space_cm(yp)),
+                               np.asarray(r1), atol=2e-5, rtol=1e-5)
+    for t_valid in (False, True):
+        out = depth_to_space_cm(conv_s2d_packed_3d_cm(yp, w2, b2, t_valid))
+        ref = plain(r1, w2, b2, t_valid)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+    out1 = conv_packed_1x1_cm(yp, w4, b4)
+    np.testing.assert_allclose(np.asarray(depth_to_space_cm(out1)),
+                               np.asarray(plain(r1, w4, b4)),
+                               atol=2e-5, rtol=1e-5)
+    # concat property: channel-major blocks concatenate natively
+    cat = jnp.concatenate([conv_s2d_packed_3d_cm(yp, w2, b2), out1], -1)
+    ref_cat = jnp.concatenate([plain(r1, w2, b2), plain(r1, w4, b4)], -1)
+    np.testing.assert_allclose(np.asarray(depth_to_space_cm(cat)),
+                               np.asarray(ref_cat), atol=2e-5, rtol=1e-5)
+
+
+def test_conv_s2d_3d_cm_grads_match_plain():
+    """Kernel gradients through the packed 3-D chain match the plain chain
+    (the packed trunk trains — supervised DUF uses even crop sizes)."""
+    from dynavsr_tpu.ops.conv_s2d import (
+        conv_s2d_enter_3d_cm,
+        conv_s2d_packed_3d_cm,
+        depth_to_space_cm,
+    )
+
+    rng = np.random.default_rng(9)
+    t = lambda *s: jnp.asarray(  # noqa: E731
+        rng.standard_normal(s).astype(np.float32) * 0.2)
+    x = t(1, 3, 8, 8, 4)
+    w1, w2 = t(1, 3, 3, 4, 6), t(3, 3, 3, 6, 5)
+
+    def loss_packed(ws):
+        y = conv_s2d_enter_3d_cm(x, ws[0])
+        return jnp.sum(depth_to_space_cm(conv_s2d_packed_3d_cm(y, ws[1])) ** 2)
+
+    def loss_plain(ws):
+        def pl(v, w):
+            k = w.shape[1]
+            return jax.lax.conv_general_dilated(
+                v, w, (1, 1, 1),
+                [((w.shape[0] - 1) // 2,) * 2, (k // 2,) * 2, (k // 2,) * 2],
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return jnp.sum(pl(pl(x, ws[0]), ws[1]) ** 2)
+
+    gp = jax.grad(loss_packed)((w1, w2))
+    gr = jax.grad(loss_plain)((w1, w2))
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-4)
