@@ -82,6 +82,20 @@ def main(argv=None):
 
     which = (opt["network_G"] or {}).get("which_model_G")
     padded_apply = make_model_apply(vsr.netG, which, scale)
+    tl = (opt.get("eval") or {}).get("tile")
+    if tl:
+        # Large-frame serving: inference windows run as overlapping tiles
+        # (eval/tiled.py). The adaptation pseudo-task's SLR windows are
+        # smaller than any sensible tile, so they take the single-tile
+        # passthrough — adaptation semantics unchanged. (The train_ema
+        # mutable forward is deliberately NOT tiled: per-tile batch
+        # statistics would differ from whole-frame stats.)
+        from dynavsr_tpu.eval.tiled import make_tiled_apply
+
+        th, tw = (tl, tl) if isinstance(tl, int) else tl
+        padded_apply = make_tiled_apply(
+            padded_apply, (int(th), int(tw)),
+            int((opt.get("eval") or {}).get("tile_overlap") or 32), scale)
     mutable_apply = None
     from dynavsr_tpu.adapt.adaptation import resolve_bn_mode
 

@@ -171,7 +171,10 @@ class VideoBaseModel:
         """Windows -> SR frames. Per-arch input conventions (TOF's bicubic
         pre-upscale, pyramid mod-padding) live in
         models/padding.make_model_apply — one shared implementation with
-        the adaptation CLI and the meta trainer."""
+        the adaptation CLI and the meta trainer. eval.tile: [th, tw] (+
+        eval.tile_overlap, default 32) runs frames as overlapping spatial
+        tiles (eval/tiled.py) — fixed-HBM large-frame serving; the tile
+        batch rides the same mesh padding as any window batch."""
         from dynavsr_tpu.models.padding import make_model_apply
 
         which = (self.opt.get("network_G") or {}).get("which_model_G")
@@ -179,6 +182,15 @@ class VideoBaseModel:
         apply = make_model_apply(
             self.netG, which, scale,
             raw_apply=lambda p, x: self._eval_padded(p, x))
+        ev = self.opt.get("eval") or {}
+        if ev.get("tile"):
+            from dynavsr_tpu.eval.tiled import make_tiled_apply
+
+            th, tw = (ev["tile"], ev["tile"]) if isinstance(
+                ev["tile"], int) else ev["tile"]
+            apply = make_tiled_apply(
+                apply, (int(th), int(tw)),
+                int(ev.get("tile_overlap") or 32), scale)
         return lambda w: apply(self.state.params, jnp.asarray(w))
 
     def get_current_log(self) -> Dict[str, float]:

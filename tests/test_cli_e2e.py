@@ -455,3 +455,50 @@ def test_eval_cli_saves_images(workdir, monkeypatch):
     assert np.isfinite(results["test"]["_avg"]["psnr_avg"])
     pngs = _glob.glob(str(workdir / "results" / "tiny_save_eval" / "tinyset" / "clipA" / "*.png"))
     assert len(pngs) == 12
+
+
+def test_eval_cli_tiled(workdir, monkeypatch):
+    """eval.tile wiring through the real CLI: a huge tile (single-tile
+    passthrough) reproduces the untiled numbers exactly; an actually-tiled
+    run (tile 6 / overlap 2 on 8x8 LQ frames) stays within RF-bleed range
+    (the exactness-when-overlap>=RF property itself is unit-tested in
+    test_eval_harness.py — this test is about the YAML->infer_fn plumbing)."""
+    from dynavsr_tpu.cli import test as test_cli
+
+    base = textwrap.dedent(f"""
+        name: tiny_tiled_eval_{{tag}}
+        model: video_base
+        scale: 4
+        datasets:
+          test:
+            name: tinyset
+            mode: video_test
+            dataroot_GT: {workdir / 'GT'}
+            dataroot_LQ: {workdir / 'LQ'}
+            N_frames: 3
+            padding: reflection
+        network_G:
+          which_model_G: EDVR
+          nf: 8
+          nframes: 3
+          groups: 2
+          front_RBs: 1
+          back_RBs: 1
+        path: {{{{}}}}
+        eval:
+          crop_border: 0
+          ycbcr: false
+    """)
+    monkeypatch.chdir(workdir)
+    psnr = {}
+    for tag, extra in (("off", ""),
+                       ("pass", "  tile: 64\n  tile_overlap: 2\n"),
+                       ("on", "  tile: [6, 6]\n  tile_overlap: 2\n")):
+        yml = workdir / f"tiled_eval_{tag}.yml"
+        yml.write_text(base.format(tag=tag) + extra)
+        r = test_cli.main(["-opt", str(yml), "--no-save-images"])
+        psnr[tag] = r["test"]["_avg"]["psnr_avg"]
+        assert np.isfinite(psnr[tag])
+    assert psnr["pass"] == pytest.approx(psnr["off"], abs=1e-9)
+    # overlap 2 < the EDVR receptive field -> small tile-seam bleed only
+    assert abs(psnr["on"] - psnr["off"]) < 1.0
