@@ -180,6 +180,10 @@ def main() -> None:
     ap.add_argument("--tof-serve", action="store_true",
                     help="TOF x4 serving forward throughput (phase-packed "
                          "space-to-depth conv path — ops/conv_s2d.py)")
+    ap.add_argument("--duf-serve", action="store_true",
+                    help="DUF-16L x4 serving forward throughput at the "
+                         "deployed default config (trunk-packing A/B lives "
+                         "in tools/duf_serve_bench.py)")
     ap.add_argument("--adapt-steps", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
@@ -212,6 +216,17 @@ def main() -> None:
         ms = _measure_tof_serve(args)
         print(json.dumps({
             "metric": "tof_x4_serving_ms_per_window",
+            "value": round(ms, 2),
+            "unit": "ms/window",
+            "vs_baseline": None,
+            "baseline_kind": "no_published_reference_throughput",
+        }))
+        return
+
+    if args.duf_serve:
+        ms = _measure_duf_serve(args)
+        print(json.dumps({
+            "metric": "duf_16l_x4_serving_ms_per_window",
             "value": round(ms, 2),
             "unit": "ms/window",
             "vs_baseline": None,
@@ -294,6 +309,41 @@ def _measure_tof_serve(args) -> float:
     _ = np.asarray(f(x + jnp.asarray(1e-5, x.dtype)))
     dt = (time.perf_counter() - t0) / reps
     print(f"# tof_serve shape=({b},{t},{h},{w},3) reps={reps} "
+          f"{dt*1e3:.1f} ms/batch", file=sys.stderr)
+    return dt / b * 1e3
+
+
+def _measure_duf_serve(args) -> float:
+    """DUF-16L x4 serving forward, ms/window, at Vid4 LR shapes (7-frame
+    windows — duf.py forward replicates ends). Builds through define_G so
+    the bench always measures the DEPLOYED default (incl. the trunk-packing
+    knob, networks.py s2d_conv); the on/off A/B is tools/duf_serve_bench.py.
+    Repeats amortized inside one executable, same as _measure_tof_serve."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynavsr_tpu.models.networks import define_G
+
+    b, h, w = (1, 16, 16) if args.quick else (4, 144, 176)
+    reps = max(2, min(args.repeats, 8))
+    model = define_G({"scale": 4,
+                      "network_G": {"which_model_G": "DUF_16L",
+                                    "dtype": "bfloat16"}})
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    x = jax.random.uniform(ks[0], (b, 7, h, w, 3))
+    params = jax.jit(model.init)(ks[1], x[:1])
+
+    def body(i, acc):
+        xi = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+        return acc + model.apply(params, xi)[0, :4, 0, 0]
+
+    f = jax.jit(lambda x: jax.lax.fori_loop(0, reps, body, jnp.zeros(4)))
+    _ = np.asarray(f(x))  # compile + warm
+    t0 = time.perf_counter()
+    _ = np.asarray(f(x + jnp.asarray(1e-5, x.dtype)))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"# duf_serve shape=({b},7,{h},{w},3) reps={reps} "
           f"{dt*1e3:.1f} ms/batch", file=sys.stderr)
     return dt / b * 1e3
 
