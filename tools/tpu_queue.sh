@@ -1,0 +1,49 @@
+#!/bin/bash
+# Serial TPU measurement queue — the round-3 pending measurements that were
+# blocked by the wedged tunnel (NOTES_ROUND4.md items 10/11 + the DUF
+# packed-trunk serve A/B + a fresh default bench).
+#
+# Invariants (CLAUDE.md gotchas): ONE process on the tunnel at a time —
+# this script runs everything serially; each serve bench runs TWICE in
+# fresh processes because the first timed call in the process that just
+# compiled can read ~10x inflated (run 2, on the cached executable, is
+# authoritative); every step is timeout-bounded so a re-wedge can't hang
+# the queue forever. Logs land in results_r03/.
+set -u
+cd "$(dirname "$0")/.."
+R=results_r03
+mkdir -p "$R"
+
+step() { echo; echo "=== $* — $(date +%H:%M:%S) ==="; }
+
+step "probe (tiny matmul, varied input)"
+timeout 300 python - <<'EOF'
+import time
+import numpy as np
+import jax.numpy as jnp
+x = np.random.rand(256, 256).astype("float32") * (time.time() % 1 + 0.5)
+print("probe ok", np.asarray(jnp.dot(x, x)).shape)
+EOF
+if [ $? -ne 0 ]; then echo "probe failed — tunnel still wedged"; exit 1; fi
+
+step "DUF packed-trunk serve A/B — run 1 (compiles)"
+timeout 2400 python tools/duf_serve_bench.py --mode both 2>&1 | tee "$R/duf_serve_ab_run1.log"
+step "DUF packed-trunk serve A/B — run 2 (cached; authoritative)"
+timeout 1200 python tools/duf_serve_bench.py --mode both 2>&1 | tee "$R/duf_serve_ab_run2.log"
+
+step "DUF adapt+infer segment bench — run 1 (compiles)"
+timeout 3000 python tools/adapt_bench.py --arch duf 2>&1 | tee "$R/duf_adapt_bench_run1.log"
+step "DUF adapt+infer segment bench — run 2 (cached; authoritative)"
+timeout 1500 python tools/adapt_bench.py --arch duf 2>&1 | tee "$R/duf_adapt_bench_run2.log"
+
+step "noise-aware degradation-training A/B (NOTES_ROUND4 item 10; long)"
+timeout 21600 python tools/blind_adaptation_check.py \
+    --kernels iso:1.8:n0.01 iso:1.8:n0.03 iso:3.5 aniso:3.2:0.8:0.3 \
+    --seed 0 --meta-iters 150 --adapt-lrs 1e-6 1e-5 \
+    --train-noise 0.05 --root /tmp/blind_noise_s0 2>&1 \
+    | tee "$R/blind_noise_train005_s0.log"
+
+step "default bench sanity (fresh process on cached executables)"
+timeout 2700 python bench.py 2>&1 | tee "$R/bench_default_post.log"
+
+step "queue done"
