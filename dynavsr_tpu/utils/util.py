@@ -82,8 +82,18 @@ def setup_logger(
     screen: bool = False,
     tofile: bool = True,
 ) -> logging.Logger:
-    """Per-name file+console logger (reference utils/util.py:setup_logger)."""
+    """Per-name file+console logger (reference utils/util.py:setup_logger).
+
+    Idempotent, unlike the reference's append-only version: re-setup of the
+    same logger name REPLACES its handlers. The reference CLIs are one-shot
+    processes so stacking never showed there; our tools (e.g.
+    tools/blind_adaptation_check.py) drive the CLIs in-process once per
+    protocol leg, which would otherwise duplicate every line per leg and
+    leak open log-file handles."""
     lg = logging.getLogger(logger_name)
+    for h in list(lg.handlers):
+        lg.removeHandler(h)
+        h.close()
     formatter = logging.Formatter(
         "%(asctime)s.%(msecs)03d - %(levelname)s: %(message)s",
         datefmt="%y-%m-%d %H:%M:%S",
