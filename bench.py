@@ -46,13 +46,13 @@ def _arm_tunnel_watchdog():
     across fresh processes, for hours (CLAUDE.md gotchas). A hung bench.py
     gives the driver nothing; this daemon thread instead emits one honest
     JSON line and exits hard if no result has printed within
-    BENCH_WATCHDOG_S (default 2700 s — the dual+gd2+tof default run pays
-    ~7 min of cold remote-AOT compiles on a fresh container plus the
+    BENCH_WATCHDOG_S (default 3000 s — the dual+gd2+seq+tof default run
+    pays ~8 min of cold remote-AOT compiles on a fresh container plus the
     measurements, so the bound is generous; set 0 to disable)."""
     import os
     import threading
 
-    budget = float(os.environ.get("BENCH_WATCHDOG_S", "2700"))
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", "3000"))
     if budget <= 0:
         return
 
@@ -96,12 +96,25 @@ def _effective_groups(args, groups: int) -> int:
 
 
 def _measure_adapt_infer(args, groups: int, nf: int = 64, front: int = 5,
-                         back: int = 10, infer_chunk: int = 0):
-    """Best-of-N adapt+infer time for one EDVR config; returns fps."""
+                         back: int = 10, infer_chunk: int = 0,
+                         seq: bool = False):
+    """Best-of-N adapt+infer time for one EDVR config; returns fps.
+
+    seq=True measures the sequence-mode serving path (EDVR.forward_seq:
+    per-frame pyramids extracted once for the clip and shared across
+    windows — exact, tests/test_seq_infer.py): the workload is the SAME
+    n_windows output frames, but inference consumes the 16-frame clip +
+    sliding-window indices instead of 16 pre-materialized windows (which
+    is what a real clip looks like — windows share frames)."""
     import jax
     import jax.numpy as jnp
 
-    from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
+    from dynavsr_tpu.adapt.adaptation import (
+        AdaptConfig,
+        make_adapt_and_infer,
+        make_adapt_and_infer_seq,
+    )
+    from dynavsr_tpu.data.windows import all_windows
     from dynavsr_tpu.models.edvr import EDVR
 
     if args.quick:
@@ -128,18 +141,24 @@ def _measure_adapt_infer(args, groups: int, nf: int = 64, front: int = 5,
     params = model.init(k4, lr_windows[:1])
     cfg = AdaptConfig(n_steps=args.adapt_steps, lr=1e-6, optimizer="adam",
                       infer_chunk=infer_chunk)  # 0 = single-batch (fastest)
-    run = make_adapt_and_infer(model, cfg)
 
     # Pre-generate distinct inputs: the tunnel memoizes identical
     # (executable, inputs) calls, which would fake a ~0s run.
+    if seq:
+        win_idx = jnp.asarray(all_windows(n_windows, nframes, "reflection"))
+        run_seq = make_adapt_and_infer_seq(model, cfg)
+        run = lambda p, s, c, frames: run_seq(p, s, c, frames, win_idx)  # noqa: E731
+        in_shape = (n_windows, h, w, 3)
+    else:
+        run = make_adapt_and_infer(model, cfg)
+        in_shape = (n_windows, nframes, h, w, 3)
     inputs = [
-        jax.random.uniform(jax.random.PRNGKey(100 + i),
-                           (n_windows, nframes, h, w, 3), jnp.float32)
+        jax.random.uniform(jax.random.PRNGKey(100 + i), in_shape, jnp.float32)
         for i in range(args.repeats)
     ]
 
     # Warmup / compile.
-    sr, losses = run(params, slr_windows, lr_centers, lr_windows)
+    sr, losses = run(params, slr_windows, lr_centers, inputs[0])
     _force((sr, losses))
 
     times = []
@@ -152,7 +171,7 @@ def _measure_adapt_infer(args, groups: int, nf: int = 64, front: int = 5,
     best = min(times)
     fps = n_windows / best
     print(
-        f"# groups={groups} nf={nf} back_RBs={back} "
+        f"# groups={groups} nf={nf} back_RBs={back} seq={seq} "
         f"shape=({n_windows},{nframes},{h},{w},3) adapt_steps={args.adapt_steps} "
         f"best={best:.3f}s times={[round(t, 3) for t in times]}",
         file=sys.stderr,
@@ -184,6 +203,11 @@ def main() -> None:
                     help="DUF-16L x4 serving forward throughput at the "
                          "deployed default config (trunk-packing A/B lives "
                          "in tools/duf_serve_bench.py)")
+    ap.add_argument("--seq", action="store_true",
+                    help="measure the sequence-mode serving path "
+                         "(EDVR.forward_seq — per-frame pyramids shared "
+                         "across windows, exact) for the chosen config "
+                         "instead of the window-batched path")
     ap.add_argument("--adapt-steps", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
@@ -236,11 +260,12 @@ def main() -> None:
 
     if args.flagship or args.groups is not None:
         g = 1 if args.flagship else args.groups
-        fps = _measure_adapt_infer(args, groups=g)
+        fps = _measure_adapt_infer(args, groups=g, seq=args.seq)
         g = _effective_groups(args, g)  # label what was measured, not asked
         print(json.dumps({
             "metric": f"edvr_m_x4_fps_per_chip_with_adaptation_gd{g}"
-                      + ("_flagship" if g == 1 else ""),
+                      + ("_flagship" if g == 1 else "")
+                      + ("_seq" if args.seq else ""),
             "value": round(fps, 3),
             "unit": "frames/sec/chip",
             "vs_baseline": round(fps / PYTORCH_GPU_FPS_ESTIMATE, 3),
@@ -248,7 +273,7 @@ def main() -> None:
         }))
         return
 
-    fps = _measure_adapt_infer(args, groups=8)
+    fps = _measure_adapt_infer(args, groups=8, seq=args.seq)
     result = {
         "metric": "edvr_m_x4_fps_per_chip_with_adaptation",
         "value": round(fps, 3),
@@ -270,6 +295,14 @@ def main() -> None:
         ffps = _measure_adapt_infer(args, groups=1)
         result["flagship_fps"] = round(ffps, 3)
         result["flagship_vs_baseline"] = round(ffps / PYTORCH_GPU_FPS_ESTIMATE, 3)
+        # Sequence-mode serving (EDVR.forward_seq: per-frame pyramids
+        # extracted once per clip frame, shared across windows — exact;
+        # tests/test_seq_infer.py). Reported on the flagship config where
+        # non-DCN convs dominate and the dedup matters most.
+        sfps = _measure_adapt_infer(args, groups=1, seq=True)
+        result["flagship_seq_fps"] = round(sfps, 3)
+        result["flagship_seq_vs_baseline"] = round(
+            sfps / PYTORCH_GPU_FPS_ESTIMATE, 3)
         # Gd=2: the measured Pareto point (RESULTS.md round-3 frontier —
         # within 0.35 dB of the Gd=8 parity config at ~2.5x its speed).
         g2 = _measure_adapt_infer(args, groups=2)

@@ -45,6 +45,7 @@ __all__ = [
     "chunked_apply",
     "make_adapt_and_infer",
     "make_adapt_and_infer_batched",
+    "make_adapt_and_infer_seq",
     "make_adapt_step",
     "batch_clips",
     "resolve_bn_mode",
@@ -191,6 +192,53 @@ def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True,
             body, (params, opt_state), None, length=cfg.n_steps)
 
         sr = chunked_apply(apply, adapted, lr_windows, cfg.infer_chunk)
+        return sr, losses
+
+    return jax.jit(run) if jit else run
+
+
+def make_adapt_and_infer_seq(vsr_model, cfg: AdaptConfig, jit: bool = True,
+                             apply_fn=None, mutable_apply_fn=None):
+    """Sequence-mode adapt+infer: same adaptation scan as
+    make_adapt_and_infer, but inference runs EDVR.forward_seq semantics —
+    per-frame pyramids extracted ONCE for the clip's T frames and shared
+    by every sliding window (exact; interior frames are recomputed ~N
+    times by the window-batched path). EDVR-only: the model must expose
+    extract_pyramid/fuse_pyramid (models/edvr.py).
+
+    run(params, slr_windows, lr_centers, frames, win_idx):
+      frames:  (T, h, w, 3) the raw clip
+      win_idx: (F, N) int32 sliding-window indices (data/windows.all_windows)
+    Returns (sr (F, H, W, 3), losses (n_steps,)).
+
+    cfg.infer_chunk bounds the PCD+fuse stage (lax.map over win_idx rows);
+    the T pyramid extractions always run as one batch (they are the cheap,
+    dedup'd part — ~4.3 MB/frame of bf16 pyramid at Vid4 scale).
+    """
+    tx, step = make_adapt_step(vsr_model, cfg, apply_fn, mutable_apply_fn)
+
+    def run(params, slr_windows, lr_centers, frames, win_idx):
+        opt_state = tx.init(params)
+
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = step(p, o, slr_windows, lr_centers)
+            return (p, o), loss
+
+        (adapted, _), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=cfg.n_steps)
+
+        l1, l2, l3 = vsr_model.apply(adapted, frames, method="extract_pyramid")
+        n = win_idx.shape[1]
+        center = getattr(vsr_model, "center", None)
+        center = n // 2 if center is None else center
+
+        def fuse(p, idx):
+            return vsr_model.apply(
+                p, l1[idx], l2[idx], l3[idx], frames[idx[:, center]],
+                method="fuse_pyramid")
+
+        sr = chunked_apply(fuse, adapted, win_idx, cfg.infer_chunk)
         return sr, losses
 
     return jax.jit(run) if jit else run

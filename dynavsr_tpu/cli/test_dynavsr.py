@@ -105,6 +105,25 @@ def main(argv=None):
         mutable_apply = make_mutable_model_apply(vsr.netG, which, scale)
     run = make_adapt_and_infer(vsr.netG, cfg, apply_fn=padded_apply,
                                mutable_apply_fn=mutable_apply)
+    # adapt.seq: sequence-mode inference (EDVR.forward_seq — per-frame
+    # pyramids computed once per clip frame and shared across windows;
+    # exact, tests/test_seq_infer.py). EDVR-only (needs the pyramid-split
+    # forward), serial path only, and not combinable with tiling.
+    use_seq = bool(a.get("seq")) and not tl and not a.get("clip_parallel")
+    if use_seq and which != "EDVR":
+        logger.warning("adapt.seq requested but which_model_G=%s has no "
+                       "pyramid-split forward — using the window-batched "
+                       "path.", which)
+        use_seq = False
+    if use_seq:
+        from dynavsr_tpu.adapt.adaptation import make_adapt_and_infer_seq
+
+        # apply_fn only drives the adaptation pseudo-task (SLR windows
+        # need mod-padding); inference padding happens at the frame level
+        # in the clip loop below.
+        run_seq = make_adapt_and_infer_seq(
+            vsr.netG, cfg, apply_fn=padded_apply,
+            mutable_apply_fn=mutable_apply)
 
     results = {}
     for name, dataset_opt in (opt["datasets"] or {}).items():
@@ -168,22 +187,47 @@ def main(argv=None):
                 gt = test_set.clip_frames(clip, gt=True) if test_set.gt_index else None
                 t = lq.shape[0]
                 win = all_windows(t, n_frames, padding)
-                windows = lq[win]
                 # Bucket the frame count to a multiple of 8 so clips of
                 # different lengths share ONE compiled adapt+infer program
                 # (jit compiles per shape; Vid4's four lengths would
                 # otherwise cost four multi-minute TPU compiles).
                 t_pad = -(-t // 8) * 8
-                if t_pad != t:
-                    windows = np.concatenate(
-                        [windows, np.repeat(windows[-1:], t_pad - t, axis=0)], axis=0)
-                lr_windows = jnp.asarray(windows)
                 n_adapt = min(n_adapt_cfg, t)
-                adapt_windows = lr_windows[:n_adapt]
+                adapt_windows = jnp.asarray(lq[win[:n_adapt]])
                 slr_windows = est_fwd(est_params, adapt_windows)
                 lr_centers = adapt_windows[:, n_frames // 2]
-                sr, losses = run(vsr.state.params, slr_windows, lr_centers, lr_windows)
-                score(clip, np.asarray(sr)[:t], gt, losses)
+                if use_seq:
+                    # Pad the clip (repeat last frame) to the bucketed T
+                    # and mod-4 reflection-pad H/W once for the whole clip
+                    # (the window path pads each window identically, so
+                    # this is the same math — tests/test_cli_e2e.py pins
+                    # seq == windowed through the real CLI).
+                    h, w = lq.shape[1], lq.shape[2]
+                    frames = np.concatenate(
+                        [lq, np.repeat(lq[-1:], t_pad - t, axis=0)], axis=0) \
+                        if t_pad != t else lq
+                    win_pad = np.concatenate(
+                        [win, np.repeat(win[-1:], t_pad - t, axis=0)], axis=0) \
+                        if t_pad != t else win
+                    ph, pw = (-h) % 4, (-w) % 4
+                    if ph or pw:
+                        frames = np.pad(
+                            frames, [(0, 0), (0, ph), (0, pw), (0, 0)],
+                            mode="reflect")
+                    sr, losses = run_seq(
+                        vsr.state.params, slr_windows, lr_centers,
+                        jnp.asarray(frames), jnp.asarray(win_pad))
+                    sr = np.asarray(sr)[:t, : h * scale, : w * scale]
+                else:
+                    windows = lq[win]
+                    if t_pad != t:
+                        windows = np.concatenate(
+                            [windows, np.repeat(windows[-1:], t_pad - t, axis=0)],
+                            axis=0)
+                    sr, losses = run(vsr.state.params, slr_windows, lr_centers,
+                                     jnp.asarray(windows))
+                    sr = np.asarray(sr)[:t]
+                score(clip, sr, gt, losses)
     if any("psnr_avg" in r for r in results.values()):
         avg_p = float(np.mean([r["psnr_avg"] for r in results.values()]))
         avg_s = float(np.mean([r["ssim_avg"] for r in results.values()]))

@@ -225,6 +225,19 @@ class EDVR(nn.Module):
     Input x: (B, N, H, W, 3) LR frames in [0, 1] (NHWC, frames axis 1).
     Output: (B, 4H, 4W, 3) SR center frame (x4 fixed, like the reference).
     EDVR-M: nf=64, back_RBs=10. EDVR-L: nf=128, back_RBs=40.
+
+    Structured as setup() + three public methods so serving can split the
+    forward at the pyramid boundary:
+
+    * ``__call__(x)`` — the reference forward, window in / SR center out.
+    * ``extract_pyramid(frames)`` / ``fuse_pyramid(...)`` — the two exact
+      halves of ``__call__`` (feature extraction is strictly per-frame; the
+      first cross-frame op is PCD).
+    * ``forward_seq(frames, win_idx)`` — sequence-mode inference: pyramids
+      for the T clip frames are computed ONCE and shared by every sliding
+      window that contains the frame. The reference recomputes per-frame
+      features once per window (~N=5x redundancy on interior frames); this
+      is exact, not an approximation — same math, deduplicated.
     """
 
     nf: int = 64
@@ -238,39 +251,68 @@ class EDVR(nn.Module):
     w_TSA: bool = True
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def setup(self):
         dt = self.dtype
-        b, n, h, w, _ = x.shape
-        center = self.center if self.center is not None else n // 2
-        x_center = x[:, center]
-
-        xf = x.reshape(b * n, h, w, -1)
         if self.predeblur:
-            l1 = PredeblurResNetPyramid(self.nf, self.hr_in, dtype=dt, name="pre_deblur")(xf)
-            l1 = _conv(self.nf, kernel=1, name="conv_1x1", dtype=dt)(l1)
-            if self.hr_in:
-                h, w = h // 4, w // 4
+            self.pre_deblur = PredeblurResNetPyramid(
+                self.nf, self.hr_in, dtype=dt, name="pre_deblur")
+            self.conv_1x1 = _conv(self.nf, kernel=1, name="conv_1x1", dtype=dt)
         elif self.hr_in:
-            l1 = lrelu(_conv(self.nf, name="conv_first_1", dtype=dt)(xf))
-            l1 = lrelu(_conv(self.nf, stride=2, name="conv_first_2", dtype=dt)(l1))
-            l1 = lrelu(_conv(self.nf, stride=2, name="conv_first_3", dtype=dt)(l1))
-            h, w = h // 4, w // 4
+            self.conv_first_1 = _conv(self.nf, name="conv_first_1", dtype=dt)
+            self.conv_first_2 = _conv(self.nf, stride=2, name="conv_first_2", dtype=dt)
+            self.conv_first_3 = _conv(self.nf, stride=2, name="conv_first_3", dtype=dt)
         else:
-            l1 = lrelu(_conv(self.nf, name="conv_first", dtype=dt)(xf))
+            self.conv_first = _conv(self.nf, name="conv_first", dtype=dt)
+        self.feature_extraction = ResTrunk(
+            self.nf, self.front_RBs, dtype=dt, name="feature_extraction")
+        self.fea_L2_conv1 = _conv(self.nf, stride=2, name="fea_L2_conv1", dtype=dt)
+        self.fea_L2_conv2 = _conv(self.nf, name="fea_L2_conv2", dtype=dt)
+        self.fea_L3_conv1 = _conv(self.nf, stride=2, name="fea_L3_conv1", dtype=dt)
+        self.fea_L3_conv2 = _conv(self.nf, name="fea_L3_conv2", dtype=dt)
+        self.pcd_align = PCDAlign(self.nf, self.groups, dtype=dt, name="pcd_align")
+        if self.w_TSA:
+            self.tsa_fusion = TSAFusion(
+                self.nf, self.nframes,
+                self.nframes // 2 if self.center is None else self.center,
+                dtype=dt, name="tsa_fusion")
+        else:
+            self.tsa_fusion = _conv(self.nf, kernel=1, name="tsa_fusion", dtype=dt)
+        self.recon_trunk = ResTrunk(self.nf, self.back_RBs, dtype=dt, name="recon_trunk")
+        # upconv1: nf -> nf*4 (PS2 -> nf); upconv2: nf -> 64*4 (PS2 -> 64) [H]
+        self.upconv1 = _conv(self.nf * 4, name="upconv1", dtype=dt)
+        self.upconv2 = _conv(64 * 4, name="upconv2", dtype=dt)
+        self.HRconv = _conv(64, name="HRconv", dtype=dt)
+        self.conv_last = _conv(3, name="conv_last", dtype=dt)
 
-        l1 = ResTrunk(self.nf, self.front_RBs, dtype=dt, name="feature_extraction")(l1)
-        l2 = lrelu(_conv(self.nf, stride=2, name="fea_L2_conv1", dtype=dt)(l1))
-        l2 = lrelu(_conv(self.nf, name="fea_L2_conv2", dtype=dt)(l2))
-        l3 = lrelu(_conv(self.nf, stride=2, name="fea_L3_conv1", dtype=dt)(l2))
-        l3 = lrelu(_conv(self.nf, name="fea_L3_conv2", dtype=dt)(l3))
+    def extract_pyramid(self, frames: jax.Array):
+        """Per-frame 3-level feature pyramid. frames: (B, H, W, 3) with
+        frames folded into the batch -> (l1, l2, l3) at (B, h, w, nf),
+        (B, h/2, w/2, nf), (B, h/4, w/4, nf) where h = H (or H/4 for
+        hr_in/predeblur-HR inputs). No cross-frame dependency — safe to
+        compute once per clip frame and share across windows."""
+        if self.predeblur:
+            l1 = self.conv_1x1(self.pre_deblur(frames))
+        elif self.hr_in:
+            l1 = lrelu(self.conv_first_1(frames))
+            l1 = lrelu(self.conv_first_2(l1))
+            l1 = lrelu(self.conv_first_3(l1))
+        else:
+            l1 = lrelu(self.conv_first(frames))
+        l1 = self.feature_extraction(l1)
+        l2 = lrelu(self.fea_L2_conv1(l1))
+        l2 = lrelu(self.fea_L2_conv2(l2))
+        l3 = lrelu(self.fea_L3_conv1(l2))
+        l3 = lrelu(self.fea_L3_conv2(l3))
+        return l1, l2, l3
 
-        l1 = l1.reshape(b, n, h, w, -1)
-        l2 = l2.reshape(b, n, h // 2, w // 2, -1)
-        l3 = l3.reshape(b, n, h // 4, w // 4, -1)
-
+    def fuse_pyramid(self, l1: jax.Array, l2: jax.Array, l3: jax.Array,
+                     x_center: jax.Array) -> jax.Array:
+        """PCD align + TSA fuse + reconstruct from per-window pyramids.
+        l1/l2/l3: (B, N, h[, /2, /4], w, nf); x_center: (B, H, W, 3) raw
+        center frames (LR, or HR when hr_in)."""
+        b, n, h, w, _ = l1.shape
+        center = self.center if self.center is not None else n // 2
         ref_fea_l = [l1[:, center], l2[:, center], l3[:, center]]
-        pcd = PCDAlign(self.nf, self.groups, dtype=dt, name="pcd_align")
 
         # TPU-first: fold the N neighbors into the batch and run PCD once
         # (the reference loops N times over the same module [H]; batching
@@ -280,24 +322,53 @@ class EDVR(nn.Module):
         # copies of the 65 MB L1 feature map.
         nbr_l = [f.reshape(b * n, *f.shape[2:]) for f in (l1, l2, l3)]
         ref_l = [jnp.repeat(f, n, axis=0) for f in ref_fea_l]
-        aligned = pcd(nbr_l, ref_l)  # (B*N, H, W, C), b-major
+        aligned = self.pcd_align(nbr_l, ref_l)  # (B*N, H, W, C), b-major
         aligned_fea = aligned.reshape(b, n, h, w, -1)
 
         if self.w_TSA:
-            fea = TSAFusion(self.nf, n, center, dtype=dt, name="tsa_fusion")(aligned_fea)
+            fea = self.tsa_fusion(aligned_fea)
         else:
             fea_cat = aligned_fea.transpose(0, 2, 3, 1, 4).reshape(b, h, w, -1)
-            fea = _conv(self.nf, kernel=1, name="tsa_fusion", dtype=dt)(fea_cat)
+            fea = self.tsa_fusion(fea_cat)
 
-        out = ResTrunk(self.nf, self.back_RBs, dtype=dt, name="recon_trunk")(fea)
-        # upconv1: nf -> nf*4 (PS2 -> nf); upconv2: nf -> 64*4 (PS2 -> 64) [H]
-        out = lrelu(pixel_shuffle(_conv(self.nf * 4, name="upconv1", dtype=dt)(out), 2))
-        out = lrelu(pixel_shuffle(_conv(64 * 4, name="upconv2", dtype=dt)(out), 2))
-        out = lrelu(_conv(64, name="HRconv", dtype=dt)(out))
-        out = _conv(3, name="conv_last", dtype=dt)(out)
+        out = self.recon_trunk(fea)
+        out = lrelu(pixel_shuffle(self.upconv1(out), 2))
+        out = lrelu(pixel_shuffle(self.upconv2(out), 2))
+        out = lrelu(self.HRconv(out))
+        out = self.conv_last(out)
 
         if self.hr_in:
             base = x_center
         else:
             base = interpolate_bilinear(x_center, 4)
         return (out + base).astype(jnp.float32)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, n, h, w, _ = x.shape
+        center = self.center if self.center is not None else n // 2
+        l1, l2, l3 = self.extract_pyramid(x.reshape(b * n, h, w, -1))
+        hh, ww = l1.shape[1:3]  # = h, w except hr_in (H/4)
+        l1 = l1.reshape(b, n, hh, ww, -1)
+        l2 = l2.reshape(b, n, hh // 2, ww // 2, -1)
+        l3 = l3.reshape(b, n, hh // 4, ww // 4, -1)
+        return self.fuse_pyramid(l1, l2, l3, x[:, center])
+
+    def forward_seq(self, frames: jax.Array, win_idx: jax.Array) -> jax.Array:
+        """Sequence-mode inference over one clip (beyond-reference serving
+        path; exact — tests/test_seq_infer.py pins it against __call__).
+
+        frames: (T, H, W, 3) clip; win_idx: (F, N) int32 window indices
+        (data/windows.all_windows). Returns (F, 4H, 4W, 3)* SR frames.
+        Each frame's pyramid is computed once (T extractions) instead of
+        once per containing window (F*N extractions) — interior frames of
+        a sliding-window clip are recomputed ~N times by the reference
+        loop and by __call__-over-stacked-windows alike.
+
+        Memory note: gathers (F, N) pyramids before PCD — chunk win_idx at
+        the call site (adapt.chunked_apply) exactly like batched __call__
+        windows. (*HR frames in, same-size out, when hr_in.)"""
+        l1, l2, l3 = self.extract_pyramid(frames)
+        n = win_idx.shape[1]
+        center = self.center if self.center is not None else n // 2
+        return self.fuse_pyramid(
+            l1[win_idx], l2[win_idx], l3[win_idx], frames[win_idx[:, center]])

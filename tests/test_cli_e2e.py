@@ -418,6 +418,34 @@ def test_dynavsr_clip_parallel_cli(workdir, monkeypatch):
             par[clip]["psnr"], serial[clip]["psnr"], rtol=0, atol=0.05)
 
 
+def test_dynavsr_seq_cli(workdir, monkeypatch):
+    """adapt.seq: true — sequence-mode inference (per-frame pyramids shared
+    across windows, models/edvr.py forward_seq) through the real CLI. Exact
+    by design, so per-clip PSNRs must match the windowed serial path to
+    float-noise."""
+    from dynavsr_tpu.cli import test_dynavsr as td_cli
+
+    base = DYNAVSR_YML.format(
+        tag="seq", gt=workdir / "GT", lq=workdir / "LQ",
+        netg=EDVR_NETG, nframes=3, est="MFDN")
+    monkeypatch.chdir(workdir)
+
+    yml_s = workdir / "dynavsr_seq_base.yml"
+    yml_s.write_text(base)
+    windowed = td_cli.main(["-opt", str(yml_s), "--no-save-images"])
+
+    yml_q = workdir / "dynavsr_seq.yml"
+    yml_q.write_text(base.replace("adapt:", "adapt:\n  seq: true"))
+    seq = td_cli.main(["-opt", str(yml_q), "--no-save-images"])
+
+    for clip in ("clipA", "clipB"):
+        np.testing.assert_allclose(
+            seq[clip]["psnr"], windowed[clip]["psnr"], rtol=0, atol=1e-3)
+        np.testing.assert_allclose(
+            seq[clip]["adapt_losses"], windowed[clip]["adapt_losses"],
+            rtol=1e-5)
+
+
 def test_eval_cli_saves_images(workdir, monkeypatch):
     """Without --no-save-images the eval CLI must write one SR PNG per
     frame under results/<name>/<clip>/ (reference test script behavior)."""

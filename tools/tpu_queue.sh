@@ -43,7 +43,14 @@ timeout 21600 python tools/blind_adaptation_check.py \
     --train-noise 0.05 --root /tmp/blind_noise_s0 2>&1 \
     | tee "$R/blind_noise_train005_s0.log"
 
+step "seq-mode serving A/B (EDVR.forward_seq; run 1 compiles, run 2 authoritative)"
+for i in 1 2; do
+  timeout 2400 python bench.py --flagship --seq 2>&1 | tee "$R/bench_flagship_seq_run$i.log"
+  timeout 2400 python bench.py --flagship       2>&1 | tee "$R/bench_flagship_run$i.log"
+  timeout 2400 python bench.py --parity-only --seq 2>&1 | tee "$R/bench_parity_seq_run$i.log"
+done
+
 step "default bench sanity (fresh process on cached executables)"
-timeout 2700 python bench.py 2>&1 | tee "$R/bench_default_post.log"
+timeout 3300 python bench.py 2>&1 | tee "$R/bench_default_post.log"
 
 step "queue done"
