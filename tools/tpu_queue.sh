@@ -50,6 +50,12 @@ for i in 1 2; do
   timeout 2400 python bench.py --parity-only --seq 2>&1 | tee "$R/bench_parity_seq_run$i.log"
 done
 
+step "streaming serving latency (StreamingSR; pass 0 compiles in-process)"
+for i in 1 2; do
+  timeout 2400 python tools/stream_bench.py --groups 1 2>&1 | tee "$R/stream_bench_gd1_run$i.log"
+done
+timeout 2400 python tools/stream_bench.py --groups 2 2>&1 | tee "$R/stream_bench_gd2.log"
+
 step "default bench sanity (fresh process on cached executables)"
 timeout 3300 python bench.py 2>&1 | tee "$R/bench_default_post.log"
 
