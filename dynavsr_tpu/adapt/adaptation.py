@@ -35,6 +35,7 @@ RESULTS.md round 3: TOF +2.48 vs +1.30 dB, DUF tie):
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,8 @@ __all__ = [
     "make_adapt_and_infer_batched",
     "make_adapt_and_infer_seq",
     "make_adapt_step",
+    "make_seq_infer",
+    "seq_forward",
     "batch_clips",
     "resolve_bn_mode",
 ]
@@ -228,19 +231,39 @@ def make_adapt_and_infer_seq(vsr_model, cfg: AdaptConfig, jit: bool = True,
         (adapted, _), losses = jax.lax.scan(
             body, (params, opt_state), None, length=cfg.n_steps)
 
-        l1, l2, l3 = vsr_model.apply(adapted, frames, method="extract_pyramid")
-        n = win_idx.shape[1]
-        center = getattr(vsr_model, "center", None)
-        center = n // 2 if center is None else center
-
-        def fuse(p, idx):
-            return vsr_model.apply(
-                p, l1[idx], l2[idx], l3[idx], frames[idx[:, center]],
-                method="fuse_pyramid")
-
-        sr = chunked_apply(fuse, adapted, win_idx, cfg.infer_chunk)
+        sr = seq_forward(vsr_model, adapted, frames, win_idx, cfg.infer_chunk)
         return sr, losses
 
+    return jax.jit(run) if jit else run
+
+
+def seq_forward(vsr_model, params, frames, win_idx, infer_chunk: int = 0):
+    """Sequence-mode forward over one clip (EDVR-family: the model must
+    expose extract_pyramid/fuse_pyramid — models/edvr.py): per-frame
+    pyramids extracted ONCE for the (T, H, W, 3) clip, gathered per
+    (F, N) window row for PCD+fuse. Exact vs the window-batched forward
+    (tests/test_seq_infer.py). infer_chunk bounds the fuse stage
+    (chunked_apply); the T extractions always run as one batch."""
+    l1, l2, l3 = vsr_model.apply(params, frames, method="extract_pyramid")
+    n = win_idx.shape[1]
+    center = getattr(vsr_model, "center", None)
+    center = n // 2 if center is None else center
+
+    def fuse(p, idx):
+        return vsr_model.apply(
+            p, l1[idx], l2[idx], l3[idx], frames[idx[:, center]],
+            method="fuse_pyramid")
+
+    return chunked_apply(fuse, params, win_idx, infer_chunk)
+
+
+def make_seq_infer(vsr_model, infer_chunk: int = 0, jit: bool = True):
+    """Inference-only sequence-mode forward: (params, frames (T, H, W, 3),
+    win_idx (F, N)) -> SR (F, H*scale, W*scale, 3). The plain-eval analog
+    of make_adapt_and_infer_seq (eval.seq in cli/test.py); shapes must be
+    pre-padded by the caller (VideoBaseModel.make_seq_infer_fn handles
+    mod-4 frame padding and clip-length bucketing)."""
+    run = functools.partial(seq_forward, vsr_model, infer_chunk=infer_chunk)
     return jax.jit(run) if jit else run
 
 

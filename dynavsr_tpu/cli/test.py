@@ -36,6 +36,15 @@ def main(argv=None):
         logger.info("Testing [%s] (%d clips)...", dataset_opt.get("name") or name,
                     len(test_set.names))
         ev = opt.get("eval") or {}
+        # eval.seq: sequence-mode inference (per-frame pyramids shared
+        # across sliding windows — exact, EDVR only; see
+        # VideoBaseModel.make_seq_infer_fn). Falls back to the window
+        # path when the arch/config doesn't support it.
+        seq_fn = model.make_seq_infer_fn() if ev.get("seq") else None
+        if ev.get("seq") and seq_fn is None:
+            logger.warning("eval.seq requested but unsupported for this "
+                           "config (non-EDVR arch or eval.tile set) — "
+                           "using the window-batched path.")
         results = evaluate_dataset(
             model.make_infer_fn(),
             test_set,
@@ -46,6 +55,7 @@ def main(argv=None):
             save_root=None if args.no_save_images else osp.join(
                 opt["path"]["results_root"], dataset_opt.get("name") or name),
             logger=logger,
+            seq_fn=seq_fn,
         )
         all_results[name] = results
     return all_results

@@ -47,15 +47,24 @@ def evaluate_clip(
     ycbcr: bool = False,
     crop_border: int = 0,
     save_dir: Optional[str] = None,
+    seq_fn: Optional[Callable] = None,
 ) -> ClipResult:
-    """Run SR over one clip. infer_fn: (F, N, h, w, 3) -> (F, H, W, 3)."""
+    """Run SR over one clip. infer_fn: (F, N, h, w, 3) -> (F, H, W, 3).
+
+    seq_fn (optional): (frames (T, h, w, 3), win (F, N)) -> (F, H, W, 3)
+    sequence-mode forward (per-frame pyramids shared across windows —
+    VideoBaseModel.make_seq_infer_fn); when given, it replaces the window
+    materialization + chunked infer_fn loop (exact, same outputs)."""
     t = lq_frames.shape[0]
     win = all_windows(t, n_frames, padding)
-    windows = lq_frames[win]  # (T, N, h, w, 3)
-    outs: List[np.ndarray] = []
-    for s in range(0, t, chunk):
-        outs.append(np.asarray(infer_fn(windows[s : s + chunk])))
-    sr = np.concatenate(outs, axis=0)
+    if seq_fn is not None:
+        sr = np.asarray(seq_fn(lq_frames, win))
+    else:
+        windows = lq_frames[win]  # (T, N, h, w, 3)
+        outs: List[np.ndarray] = []
+        for s in range(0, t, chunk):
+            outs.append(np.asarray(infer_fn(windows[s : s + chunk])))
+        sr = np.concatenate(outs, axis=0)
     return score_frames(sr, gt_frames, ycbcr, crop_border, save_dir)
 
 
@@ -96,9 +105,13 @@ def evaluate_dataset(
     crop_border: int = 0,
     save_root: Optional[str] = None,
     logger=None,
+    seq_fn: Optional[Callable] = None,
 ) -> Dict[str, ClipResult]:
     """Per-clip eval over a VideoTestDataset; returns {clip: ClipResult}
-    plus an '_avg' entry (reference per-clip + average logging [H])."""
+    plus an '_avg' entry (reference per-clip + average logging [H]).
+    seq_fn: optional sequence-mode clip forward (see evaluate_clip) —
+    ignored on the center-only (Vimeo90K-T) protocol, where each sequence
+    contributes exactly one window and there is nothing to share."""
     results: Dict[str, ClipResult] = {}
     if getattr(test_set, "center_only", False):
         # Vimeo90K-T protocol: one center window per sequence, batched.
@@ -134,6 +147,7 @@ def evaluate_dataset(
         res = evaluate_clip(
             infer_fn, lq, gt, n_frames, padding, chunk, ycbcr, crop_border,
             save_dir=osp.join(save_root, clip) if save_root else None,
+            seq_fn=seq_fn,
         )
         results[clip] = res
         if logger and "psnr_avg" in res:

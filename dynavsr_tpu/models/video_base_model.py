@@ -193,6 +193,51 @@ class VideoBaseModel:
                 int(ev.get("tile_overlap") or 32), scale)
         return lambda w: apply(self.state.params, jnp.asarray(w))
 
+    def make_seq_infer_fn(self):
+        """Sequence-mode eval forward (eval.seq: true): (frames (T, h, w, 3),
+        win (F, N)) -> SR (F, H, W, 3). Per-frame pyramids are extracted
+        once per clip frame and shared across the sliding windows (exact —
+        EDVR.forward_seq semantics; the window path recomputes them ~N
+        times on interior frames). Returns None when the arch has no
+        pyramid-split forward (TOF/DUF) or when eval.tile is set (the tiled
+        apply consumes window batches) — callers fall back to the window
+        path. Host wrapper handles EDVR's mod-4 frame padding and buckets
+        the clip length to a multiple of 8 so Vid4's four lengths share one
+        compiled program (jit compiles per shape)."""
+        which = (self.opt.get("network_G") or {}).get("which_model_G")
+        ev = self.opt.get("eval") or {}
+        if which != "EDVR" or ev.get("tile"):
+            return None
+        from dynavsr_tpu.adapt.adaptation import make_seq_infer
+
+        scale = self.opt.get("scale", 4)
+        core = make_seq_infer(
+            self.netG, infer_chunk=int(ev.get("infer_chunk") or 8))
+
+        def fn(frames, win):
+            frames = np.asarray(frames)
+            win = np.asarray(win, np.int32)
+            t, f = frames.shape[0], win.shape[0]
+            h, w = frames.shape[1], frames.shape[2]
+            t_pad = -(-t // 8) * 8
+            if t_pad != t:
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], t_pad - t, axis=0)], axis=0)
+            f_pad = -(-f // 8) * 8
+            if f_pad != f:
+                win = np.concatenate(
+                    [win, np.repeat(win[-1:], f_pad - f, axis=0)], axis=0)
+            ph, pw = (-h) % 4, (-w) % 4
+            if ph or pw:
+                # Same math as the window path: mod_pad_apply pads each
+                # window identically, which equals padding the frames once.
+                frames = np.pad(
+                    frames, [(0, 0), (0, ph), (0, pw), (0, 0)], mode="reflect")
+            sr = core(self.state.params, jnp.asarray(frames), jnp.asarray(win))
+            return np.asarray(sr)[:f, : h * scale, : w * scale]
+
+        return fn
+
     def get_current_log(self) -> Dict[str, float]:
         return dict(self.log)
 

@@ -446,6 +446,54 @@ def test_dynavsr_seq_cli(workdir, monkeypatch):
             rtol=1e-5)
 
 
+def test_eval_cli_seq(workdir, monkeypatch):
+    """eval.seq wiring through the plain eval CLI: sequence-mode inference
+    (per-frame pyramids shared across windows) must reproduce the windowed
+    numbers exactly — it is the same math, deduplicated. Also covers the
+    mod-4 frame padding + clip-length bucketing host wrapper
+    (VideoBaseModel.make_seq_infer_fn): the clip is 7x9 LQ (non-mod-4,
+    exercises the reflect pad + output crop) and 6 frames (bucketed to 8,
+    exercises the repeat-last-frame tail)."""
+    from dynavsr_tpu.cli import test as test_cli
+
+    make_clip_tree(str(workdir / "GTs"), ["clipA"], frames=6, h=28, w=36, seed=5)
+    make_clip_tree(str(workdir / "LQs"), ["clipA"], frames=6, h=7, w=9, seed=6)
+
+    base = textwrap.dedent(f"""
+        name: tiny_seq_eval_{{tag}}
+        model: video_base
+        scale: 4
+        datasets:
+          test:
+            name: tinyset
+            mode: video_test
+            dataroot_GT: {workdir / 'GTs'}
+            dataroot_LQ: {workdir / 'LQs'}
+            N_frames: 3
+            padding: reflection
+        network_G:
+          which_model_G: EDVR
+          nf: 8
+          nframes: 3
+          groups: 2
+          front_RBs: 1
+          back_RBs: 1
+        path: {{{{}}}}
+        eval:
+          crop_border: 0
+          ycbcr: false
+    """)
+    monkeypatch.chdir(workdir)
+    psnr = {}
+    for tag, extra in (("off", ""), ("on", "  seq: true\n")):
+        yml = workdir / f"seq_eval_{tag}.yml"
+        yml.write_text(base.format(tag=tag) + extra)
+        r = test_cli.main(["-opt", str(yml), "--no-save-images"])
+        psnr[tag] = r["test"]["_avg"]["psnr_avg"]
+        assert np.isfinite(psnr[tag])
+    assert psnr["on"] == pytest.approx(psnr["off"], abs=1e-3)
+
+
 def test_eval_cli_saves_images(workdir, monkeypatch):
     """Without --no-save-images the eval CLI must write one SR PNG per
     frame under results/<name>/<clip>/ (reference test script behavior)."""
