@@ -47,10 +47,12 @@ __all__ = [
     "make_adapt_and_infer",
     "make_adapt_and_infer_batched",
     "make_adapt_and_infer_seq",
+    "make_adapt_and_infer_seq_batched",
     "make_adapt_step",
     "make_seq_infer",
     "seq_forward",
     "batch_clips",
+    "batch_clips_seq",
     "resolve_bn_mode",
 ]
 
@@ -293,6 +295,83 @@ def make_adapt_and_infer_batched(vsr_model, cfg: AdaptConfig, mesh=None,
         in_shardings=(repl, data, data, data),
         out_shardings=(data, data),
     )
+
+
+def make_adapt_and_infer_seq_batched(vsr_model, cfg: AdaptConfig, mesh=None,
+                                     apply_fn=None, mutable_apply_fn=None):
+    """Clip-parallel sequence-mode adaptation: the seq composition of
+    make_adapt_and_infer_batched — each chip adapts ITS OWN clips
+    concurrently AND serves them with shared per-frame pyramids
+    (EDVR.forward_seq; exact). This is the fastest multi-chip serving
+    path: clip-parallelism removes the reference's serial per-clip loop,
+    seq mode removes the ~N=5x per-frame feature recomputation.
+
+    Inputs (clips padded to common shapes via batch_clips_seq):
+      params (replicated), slr_windows (C, K, N, h/s, w/s, 3),
+      lr_centers (C, K, h, w, 3), frames (C, T, h, w, 3),
+      win_idx (C, F, N) int32
+    Returns sr (C, F, H, W, 3), losses (C, n_steps).
+    """
+    single = make_adapt_and_infer_seq(vsr_model, cfg, jit=False,
+                                      apply_fn=apply_fn,
+                                      mutable_apply_fn=mutable_apply_fn)
+    fn = jax.vmap(single, in_axes=(None, 0, 0, 0, 0))
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        fn,
+        in_shardings=(repl, data, data, data, data),
+        out_shardings=(data, data),
+    )
+
+
+def batch_clips_seq(clips, n_frames: int, padding: str, n_adapt: int,
+                    center: int):
+    """Pad raw clips + their sliding-window index tables to common shapes
+    for the batched SEQ adapt path. clips: list of (T_i, h, w, 3) arrays
+    (same h, w — the same uniform-resolution constraint as batch_clips).
+
+    Returns (frames (C, Tmax, h, w, 3), win_idx (C, Tmax, N) int32,
+    adapt_windows (C, K, N, h, w, 3), lr_centers (C, K, h, w, 3),
+    lengths). Tmax is bucketed to a multiple of 8 so nearby clip lengths
+    share one compiled program; frame padding repeats the last frame and
+    window padding repeats the last row (never scored — callers slice
+    sr[i, :lengths[i]]). Adaptation windows are selected exactly like
+    batch_clips (evenly spread when the clip is shorter than n_adapt
+    windows would need)."""
+    import numpy as np
+
+    from dynavsr_tpu.data.windows import all_windows
+
+    tmax = -(-max(c.shape[0] for c in clips) // 8) * 8
+    frames, wins, aw, lc, lens = [], [], [], [], []
+    for c in clips:
+        t = c.shape[0]
+        win = all_windows(t, n_frames, padding)  # (t, N)
+        if t < tmax:
+            c_pad = np.concatenate(
+                [c, np.repeat(c[-1:], tmax - t, axis=0)], axis=0)
+            win_pad = np.concatenate(
+                [win, np.repeat(win[-1:], tmax - t, axis=0)], axis=0)
+        else:
+            c_pad, win_pad = c, win
+        frames.append(c_pad)
+        wins.append(win_pad)
+        k = min(n_adapt, t)
+        idx = np.linspace(0, t - 1, k).round().astype(int) if k < n_adapt \
+            else np.arange(n_adapt)
+        if len(idx) < n_adapt:  # short clip: repeat windows
+            idx = np.resize(idx, n_adapt)
+        w_sel = c[win[idx]]  # (K, N, h, w, 3)
+        aw.append(w_sel)
+        lc.append(w_sel[:, center])
+        lens.append(t)
+    return (np.stack(frames), np.stack(wins).astype(np.int32),
+            np.stack(aw), np.stack(lc), lens)
 
 
 def batch_clips(clip_windows, n_adapt: int, center: int):

@@ -108,14 +108,15 @@ def main(argv=None):
     # adapt.seq: sequence-mode inference (EDVR.forward_seq — per-frame
     # pyramids computed once per clip frame and shared across windows;
     # exact, tests/test_seq_infer.py). EDVR-only (needs the pyramid-split
-    # forward), serial path only, and not combinable with tiling.
-    use_seq = bool(a.get("seq")) and not tl and not a.get("clip_parallel")
+    # forward) and not combinable with tiling; composes with
+    # adapt.clip_parallel (the batched seq path below).
+    use_seq = bool(a.get("seq")) and not tl
     if use_seq and which != "EDVR":
         logger.warning("adapt.seq requested but which_model_G=%s has no "
                        "pyramid-split forward — using the window-batched "
                        "path.", which)
         use_seq = False
-    if use_seq:
+    if use_seq and not a.get("clip_parallel"):
         from dynavsr_tpu.adapt.adaptation import make_adapt_and_infer_seq
 
         # apply_fn only drives the adaptation pseudo-task (SLR windows
@@ -156,28 +157,63 @@ def main(argv=None):
             from dynavsr_tpu.parallel.mesh import data_mesh
 
             clips = test_set.names
-            wins = [test_set.clip_frames(c)[
-                all_windows(len(test_set.lq_index.clips[c]), n_frames, padding)]
-                for c in clips]
             # Pad the clip batch to a multiple of the mesh size so ALL chips
             # stay engaged (e.g. Vid4's 4 clips on an 8-chip mesh); padded
             # clips repeat the last one and are never scored.
             n_dev = int(opt.get("n_devices") or 0)
             mesh_devs = jax.devices()[: n_dev] if n_dev else jax.devices()
             mesh = data_mesh(mesh_devs)
-            pad_n = (-len(wins)) % len(mesh_devs)
-            wins = wins + [wins[-1]] * pad_n
-            lr_w, adapt_w, lr_c, lens = batch_clips(
-                wins, n_adapt_cfg, n_frames // 2)
-            slr_w = est_fwd(est_params, jnp.asarray(adapt_w).reshape(
-                (-1,) + adapt_w.shape[2:]))
-            slr_w = slr_w.reshape(adapt_w.shape[:2] + slr_w.shape[1:])
-            run_b = make_adapt_and_infer_batched(
-                vsr.netG, cfg, mesh=mesh, apply_fn=padded_apply,
-                mutable_apply_fn=mutable_apply)
-            sr_all, losses_all = run_b(
-                vsr.state.params, slr_w, jnp.asarray(lr_c), jnp.asarray(lr_w))
-            sr_all = np.asarray(sr_all)
+            pad_n = (-len(clips)) % len(mesh_devs)
+            if use_seq:
+                # Batched SEQ serving: per-clip frames + window-index tables
+                # instead of materialized windows; pyramids extracted once
+                # per clip frame on each chip (make_adapt_and_infer_seq_batched).
+                from dynavsr_tpu.adapt.adaptation import (
+                    batch_clips_seq,
+                    make_adapt_and_infer_seq_batched,
+                )
+
+                raw = [test_set.clip_frames(c) for c in clips]
+                raw = raw + [raw[-1]] * pad_n
+                frames_b, win_b, adapt_w, lr_c, lens = batch_clips_seq(
+                    raw, n_frames, padding, n_adapt_cfg, n_frames // 2)
+                h, w = frames_b.shape[2], frames_b.shape[3]
+                ph, pw = (-h) % 4, (-w) % 4
+                if ph or pw:
+                    # Frame-level mod-4 pad == per-window mod-padding (the
+                    # window path's apply_fn does the same reflect pad).
+                    frames_b = np.pad(
+                        frames_b,
+                        [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
+                        mode="reflect")
+                slr_w = est_fwd(est_params, jnp.asarray(adapt_w).reshape(
+                    (-1,) + adapt_w.shape[2:]))
+                slr_w = slr_w.reshape(adapt_w.shape[:2] + slr_w.shape[1:])
+                run_b = make_adapt_and_infer_seq_batched(
+                    vsr.netG, cfg, mesh=mesh, apply_fn=padded_apply,
+                    mutable_apply_fn=mutable_apply)
+                sr_all, losses_all = run_b(
+                    vsr.state.params, slr_w, jnp.asarray(lr_c),
+                    jnp.asarray(frames_b), jnp.asarray(win_b))
+                sr_all = np.asarray(sr_all)[:, :, : h * scale, : w * scale]
+            else:
+                wins = [test_set.clip_frames(c)[
+                    all_windows(len(test_set.lq_index.clips[c]), n_frames,
+                                padding)]
+                    for c in clips]
+                wins = wins + [wins[-1]] * pad_n
+                lr_w, adapt_w, lr_c, lens = batch_clips(
+                    wins, n_adapt_cfg, n_frames // 2)
+                slr_w = est_fwd(est_params, jnp.asarray(adapt_w).reshape(
+                    (-1,) + adapt_w.shape[2:]))
+                slr_w = slr_w.reshape(adapt_w.shape[:2] + slr_w.shape[1:])
+                run_b = make_adapt_and_infer_batched(
+                    vsr.netG, cfg, mesh=mesh, apply_fn=padded_apply,
+                    mutable_apply_fn=mutable_apply)
+                sr_all, losses_all = run_b(
+                    vsr.state.params, slr_w, jnp.asarray(lr_c),
+                    jnp.asarray(lr_w))
+                sr_all = np.asarray(sr_all)
             for i, clip in enumerate(clips):
                 gt = test_set.clip_frames(clip, gt=True) if test_set.gt_index else None
                 score(clip, sr_all[i, : lens[i]], gt, losses_all[i])

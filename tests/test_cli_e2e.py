@@ -578,3 +578,31 @@ def test_eval_cli_tiled(workdir, monkeypatch):
     assert psnr["pass"] == pytest.approx(psnr["off"], abs=1e-9)
     # overlap 2 < the EDVR receptive field -> small tile-seam bleed only
     assert abs(psnr["on"] - psnr["off"]) < 1.0
+
+
+def test_dynavsr_seq_clip_parallel_cli(workdir, monkeypatch):
+    """adapt.seq + adapt.clip_parallel — the batched sequence-mode serving
+    path (make_adapt_and_infer_seq_batched + batch_clips_seq) through the
+    real CLI: 2 clips padded to the 8-device mesh, each adapted
+    concurrently and served with shared per-frame pyramids. Per-clip PSNRs
+    must match the serial windowed path (seq is exact; vmap/sharding only
+    perturbs fp32 reduction order)."""
+    from dynavsr_tpu.cli import test_dynavsr as td_cli
+
+    base = DYNAVSR_YML.format(
+        tag="seqcp", gt=workdir / "GT", lq=workdir / "LQ",
+        netg=EDVR_NETG, nframes=3, est="MFDN")
+    monkeypatch.chdir(workdir)
+
+    yml_s = workdir / "dynavsr_seqcp_base.yml"
+    yml_s.write_text(base)
+    serial = td_cli.main(["-opt", str(yml_s), "--no-save-images"])
+
+    yml_p = workdir / "dynavsr_seqcp.yml"
+    yml_p.write_text(base.replace(
+        "adapt:", "adapt:\n  seq: true\n  clip_parallel: true"))
+    par = td_cli.main(["-opt", str(yml_p), "--no-save-images"])
+
+    for clip in ("clipA", "clipB"):
+        np.testing.assert_allclose(
+            par[clip]["psnr"], serial[clip]["psnr"], rtol=0, atol=0.05)

@@ -104,3 +104,57 @@ def test_adapt_and_infer_seq_matches_base():
     np.testing.assert_allclose(np.asarray(loss_s), np.asarray(loss_b),
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(sr_s), np.asarray(sr_b), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_batched_seq_matches_serial_seq_8dev():
+    """Clip-parallel seq serving (make_adapt_and_infer_seq_batched +
+    batch_clips_seq) on the 8-device mesh: every clip's SR and adaptation
+    losses must match the serial seq path — sharding and clip padding are
+    pure layout. Clip lengths vary to exercise the Tmax bucketing (frame
+    and window-row padding; padded rows sliced off by lens)."""
+    from dynavsr_tpu.adapt.adaptation import (
+        batch_clips_seq,
+        make_adapt_and_infer_seq_batched,
+    )
+    from dynavsr_tpu.parallel.mesh import data_mesh
+
+    assert jax.device_count() >= 8
+    mesh = data_mesh(jax.devices()[:8])
+    model = _tiny_edvr()
+    n, h, w, scale = 3, 16, 16, 4
+    rng = np.random.default_rng(0)
+    clips = [rng.random((t, h, w, 3)).astype(np.float32)
+             for t in [4, 6, 3, 5, 4, 6, 5, 4]]
+    frames_b, win_b, adapt_w, lr_c, lens = batch_clips_seq(
+        clips, n, "reflection", n_adapt=2, center=n // 2)
+    assert frames_b.shape[1] == 8  # Tmax=6 bucketed to 8
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.asarray(clips[0][None, :n]))
+    # Stand-in for the MFDN output: strided subsample to h/scale.
+    slr = adapt_w[:, :, :, ::scale, ::scale, :]
+
+    cfg = AdaptConfig(n_steps=2, lr=1e-4)
+    batched = make_adapt_and_infer_seq_batched(model, cfg, mesh=mesh)
+    sr_all, losses_all = batched(
+        params, jnp.asarray(slr), jnp.asarray(lr_c),
+        jnp.asarray(frames_b), jnp.asarray(win_b))
+    assert sr_all.shape == (8, 8, h * scale, w * scale, 3)
+
+    serial = make_adapt_and_infer_seq(model, cfg, jit=False)
+    for i in (0, 2, 1):  # shortest, a middle, and a full-length clip
+        t = lens[i]
+        win = jnp.asarray(all_windows(t, n, "reflection"))
+        sr_i, loss_i = serial(
+            params, jnp.asarray(slr[i]), jnp.asarray(lr_c[i]),
+            jnp.asarray(clips[i]), win)
+        # vmap/sharding changes fp32 reduction order; k adaptation steps
+        # amplify it — tolerance matches the non-seq batched test
+        # (test_train.test_adapt_batched_clip_parallel_8dev), not a logic
+        # difference (the un-adapted forward is pinned at 2e-5 above).
+        np.testing.assert_allclose(
+            np.asarray(losses_all[i]), np.asarray(loss_i),
+            rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(sr_all[i, :t]), np.asarray(sr_i),
+            rtol=2e-3, atol=2e-3)
