@@ -21,7 +21,13 @@ echo $$ > /tmp/tpu_queue.pid
 R=results_r03
 mkdir -p "$R"
 
-step() { echo; echo "=== $* — $(date +%H:%M:%S) ==="; }
+step() {
+  if [ -e /tmp/tpu_stop ]; then
+    echo "[queue] stop sentinel /tmp/tpu_stop — exiting before: $*"
+    exit 0
+  fi
+  echo; echo "=== $* — $(date +%H:%M:%S) ==="
+}
 
 step "probe (tiny matmul, varied input)"
 timeout 300 python - <<'EOF'
