@@ -308,8 +308,11 @@ def main() -> None:
         g2 = _measure_adapt_infer(args, groups=2)
         result["gd2_fps"] = round(g2, 3)
         result["gd2_vs_baseline"] = round(g2 / PYTORCH_GPU_FPS_ESTIMATE, 3)
-        # Secondary backbone: TOF serving (packed space-to-depth convs).
+        # Secondary backbones: TOF + DUF serving so per-arch coverage is
+        # driver-captured every round (round-3 VERDICT item 2). Both build
+        # the deployed defaults (TOF phase-packed convs; DUF packed trunk).
         result["tof_serve_ms_per_window"] = round(_measure_tof_serve(args), 2)
+        result["duf_serve_ms_per_window"] = round(_measure_duf_serve(args), 2)
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} devices={jax.device_count()}",
           file=sys.stderr)

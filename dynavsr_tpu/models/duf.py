@@ -143,9 +143,11 @@ class DUF(nn.Module):
     growth: int = 32
     train: bool = False
     dtype: Any = None
-    # Packed-trunk schedule (module docstring). Default False until the
-    # serving A/B is measured on hardware (network_G.s2d_conv in YAML);
-    # falls back to plain automatically on odd spatial sizes.
+    # Packed-trunk schedule (module docstring). Measured 2.78x serving win
+    # on v5e (40.1 -> 14.4 ms/window, results_r03/duf_serve_ab_run2.log) —
+    # define_G defaults it ON (network_G.s2d_conv: false opts out); falls
+    # back to plain automatically on odd spatial sizes. The module default
+    # stays False so bare DUF() keeps layout-free semantics in unit tests.
     s2d: bool = False
 
     @nn.compact

@@ -57,9 +57,11 @@ def define_G(opt: Mapping[str, Any]):
                       s2d=True if s2d is None else bool(s2d))
     if which in ("DUF_16L", "DUF_28L", "DUF_52L"):
         layers = {"DUF_16L": 3, "DUF_28L": 9, "DUF_52L": 21}[which]
-        # Packed-trunk schedule default-off until measured (duf.py docstring)
+        # Packed trunk default-ON: measured 2.78x serving win on v5e
+        # (results_r03/duf_serve_ab_run2.log; duf.py docstring).
+        s2d = opt_net.get("s2d_conv")
         return DUF(scale=scale, dense1_layers=layers, dtype=dt,
-                   s2d=bool(opt_net.get("s2d_conv", False)))
+                   s2d=True if s2d is None else bool(s2d))
     if which == "MFDN":
         return MFDN(scale=scale, nf=opt_net.get("nf", 64), dtype=dt)
     if which == "SFDN":

@@ -268,10 +268,12 @@ def test_duf_s2d_conv_equivalence():
     fs, _ = ravel_pytree(m_s["batch_stats"])
     fp, _ = ravel_pytree(m_p["batch_stats"])
     np.testing.assert_allclose(np.asarray(fs), np.asarray(fp), atol=1e-5)
-    # YAML knob: default OFF for DUF (unmeasured), on via s2d_conv
-    assert not define_G({"scale": 4, "network_G": {"which_model_G": "DUF_16L"}}).s2d
-    assert define_G({"scale": 4, "network_G": {
-        "which_model_G": "DUF_16L", "s2d_conv": True}}).s2d
+    # YAML knob: packed trunk is the deployed default (measured 2.78x
+    # serving win, results_r03/duf_serve_ab_run2.log); s2d_conv: false
+    # opts out.
+    assert define_G({"scale": 4, "network_G": {"which_model_G": "DUF_16L"}}).s2d
+    assert not define_G({"scale": 4, "network_G": {
+        "which_model_G": "DUF_16L", "s2d_conv": False}}).s2d
     # odd spatial sizes fall back to the plain schedule (no crash)
     xo = jax.random.uniform(jax.random.PRNGKey(4), (1, 7, 9, 11, 3))
     po = duf_s2d.init(jax.random.PRNGKey(5), xo)
