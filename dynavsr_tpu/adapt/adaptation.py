@@ -48,6 +48,7 @@ __all__ = [
     "make_adapt_and_infer_batched",
     "make_adapt_and_infer_seq",
     "make_adapt_and_infer_seq_batched",
+    "make_adapt_fn",
     "make_adapt_step",
     "make_seq_infer",
     "seq_forward",
@@ -169,6 +170,29 @@ def make_adapt_step(vsr_model, cfg: AdaptConfig, apply_fn=None,
     return tx, step
 
 
+def make_adapt_fn(vsr_model, cfg: AdaptConfig, jit: bool = True,
+                  apply_fn=None, mutable_apply_fn=None):
+    """Build adapt(params, slr_windows, lr_centers) -> (adapted, losses) —
+    the k-step adaptation scan ALONE, no inference. This is the warm-up
+    primitive for adapt-then-serve deployments (eval/streaming.py) and the
+    shared core of every make_adapt_and_infer* variant."""
+    tx, step = make_adapt_step(vsr_model, cfg, apply_fn, mutable_apply_fn)
+
+    def adapt(params, slr_windows, lr_centers):
+        opt_state = tx.init(params)
+
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = step(p, o, slr_windows, lr_centers)
+            return (p, o), loss
+
+        (adapted, _), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=cfg.n_steps)
+        return adapted, losses
+
+    return jax.jit(adapt) if jit else adapt
+
+
 def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True,
                          apply_fn=None, mutable_apply_fn=None):
     """Build adapt_and_infer(params, slr_windows, lr_centers, lr_windows).
@@ -182,20 +206,12 @@ def make_adapt_and_infer(vsr_model, cfg: AdaptConfig, jit: bool = True,
     inference is one batched apply (optionally lax.map-chunked to bound
     memory for long clips).
     """
-    tx, step = make_adapt_step(vsr_model, cfg, apply_fn, mutable_apply_fn)
+    adapt = make_adapt_fn(vsr_model, cfg, jit=False, apply_fn=apply_fn,
+                          mutable_apply_fn=mutable_apply_fn)
     apply = apply_fn or vsr_model.apply
 
     def run(params, slr_windows, lr_centers, lr_windows):
-        opt_state = tx.init(params)
-
-        def body(carry, _):
-            p, o = carry
-            p, o, loss = step(p, o, slr_windows, lr_centers)
-            return (p, o), loss
-
-        (adapted, _), losses = jax.lax.scan(
-            body, (params, opt_state), None, length=cfg.n_steps)
-
+        adapted, losses = adapt(params, slr_windows, lr_centers)
         sr = chunked_apply(apply, adapted, lr_windows, cfg.infer_chunk)
         return sr, losses
 
@@ -220,19 +236,11 @@ def make_adapt_and_infer_seq(vsr_model, cfg: AdaptConfig, jit: bool = True,
     the T pyramid extractions always run as one batch (they are the cheap,
     dedup'd part — ~4.3 MB/frame of bf16 pyramid at Vid4 scale).
     """
-    tx, step = make_adapt_step(vsr_model, cfg, apply_fn, mutable_apply_fn)
+    adapt = make_adapt_fn(vsr_model, cfg, jit=False, apply_fn=apply_fn,
+                          mutable_apply_fn=mutable_apply_fn)
 
     def run(params, slr_windows, lr_centers, frames, win_idx):
-        opt_state = tx.init(params)
-
-        def body(carry, _):
-            p, o = carry
-            p, o, loss = step(p, o, slr_windows, lr_centers)
-            return (p, o), loss
-
-        (adapted, _), losses = jax.lax.scan(
-            body, (params, opt_state), None, length=cfg.n_steps)
-
+        adapted, losses = adapt(params, slr_windows, lr_centers)
         sr = seq_forward(vsr_model, adapted, frames, win_idx, cfg.infer_chunk)
         return sr, losses
 

@@ -16,9 +16,27 @@ ahead (padding-dependent), so emission lags arrival by N//2 frames
 (reflection/replicate) or up to 2*(N//2) (reflection_circle/new_info),
 and the last windows drain in flush() when the clip length is known.
 
+Adapt-then-serve (the DynaVSR product, online): pass `adapter` +
+`adapt_windows=K`. The server buffers the stream until the first K
+sliding windows are complete (K + N//2 frames for the start-border
+paddings — their window tables are provably identical to the offline
+protocol's first K rows, since data/windows.index_generation's start
+branches don't depend on clip length), runs the k-step adaptation once,
+then streams with the adapted params. Streams shorter than the warm-up
+adapt on min(K, T) windows at flush() — exactly the offline n_adapt
+clamp. Build the adapter with make_streaming_adapter (MFDN pseudo-task
++ adapt scan, one jitted call).
+
+Throughput mode: MultiStreamSR serves B streams in LOCKSTEP (push takes
+a (B, H, W, 3) stack, one batched extract per arrival step, one batched
+fuse per emission) — amortizing the B=1 fuse that costs the single
+stream ~1.9x vs batched serving (results_r03/stream_bench_*). Streams
+may share params or carry per-stream (adapted) params stacked on a
+leading axis (fuse/extract vmapped over params and data).
+
 Typical use (optionally with test-time-adapted params):
 
-    stream = StreamingSR(model, adapted_params, n_frames=5)
+    stream = StreamingSR(model, params, n_frames=5)
     for frame in source:                 # (H, W, 3) float32 [0,1]
         for i, sr in stream.push(frame): # zero or more ready SR frames
             sink(i, sr)
@@ -35,7 +53,7 @@ import jax.numpy as jnp
 
 from dynavsr_tpu.data.windows import index_generation
 
-__all__ = ["StreamingSR"]
+__all__ = ["StreamingSR", "MultiStreamSR", "make_streaming_adapter"]
 
 # "No end-border in sight" sentinel clip length: windows computed with this
 # max_n equal the true-T windows whenever center + N//2 <= T-1, which the
@@ -43,33 +61,85 @@ __all__ = ["StreamingSR"]
 _OPEN = 1 << 30
 
 
-class StreamingSR:
-    """Online sliding-window SR over a frame stream (EDVR-family models
-    exposing extract_pyramid/fuse_pyramid).
+def make_streaming_adapter(vsr_model, cfg, est_apply, est_params,
+                           apply_fn=None, mutable_apply_fn=None,
+                           batched: bool = False):
+    """Build the warm-up `adapter(params, windows) -> (adapted, losses)`
+    for StreamingSR/MultiStreamSR: the MFDN/SFDN pseudo-task (SLR =
+    estimator(windows) -> LR center) followed by the k-step adaptation
+    scan (adapt/adaptation.make_adapt_fn), all ONE jitted call.
 
-    Per-frame cost: one pyramid extraction (B=1) + one window fuse per
-    emitted frame — no recomputation of shared neighbors. The pyramid
-    buffer holds O(N) frames (old entries evicted once no future window
-    can reference them).
-    """
+    windows: (K, N, h, w, 3) — or (B, K, N, h, w, 3) with batched=True
+    (per-stream adaptation for MultiStreamSR; params vmapped out with a
+    leading B axis)."""
+    from dynavsr_tpu.adapt.adaptation import make_adapt_fn
 
-    def __init__(self, model, params, n_frames: int = 5,
-                 padding: str = "reflection"):
+    adapt = make_adapt_fn(vsr_model, cfg, jit=False, apply_fn=apply_fn,
+                          mutable_apply_fn=mutable_apply_fn)
+
+    def one(params, windows):
+        n = windows.shape[1]
+        slr = est_apply(est_params, windows)
+        return adapt(params, slr, windows[:, n // 2])
+
+    if batched:
+        return jax.jit(jax.vmap(one, in_axes=(None, 0)))
+    return jax.jit(one)
+
+
+class _StreamCore:
+    """Shared engine: B lockstep streams over one window/ring-buffer state.
+
+    Pyramids are buffered per arrival index with a leading (B,) axis; an
+    emission stacks N buffered pyramids into the (B, N, ...) fuse input.
+    With `params_stacked=True`, params carry a leading (B,) axis and
+    extract/fuse are vmapped over (params, data) — the per-stream-adapted
+    serving mode."""
+
+    def __init__(self, model, params, n_streams: int, n_frames: int,
+                 padding: str, adapter=None, adapt_windows: int = 0,
+                 params_stacked: bool = False):
         self.model = model
-        self.params = params
+        self.b = int(n_streams)
         self.n = int(n_frames)
         self.pad = padding
-        self._extract = jax.jit(
-            lambda p, f: model.apply(p, f, method="extract_pyramid"))
-        self._fuse = jax.jit(
+        self.adapter = adapter
+        self.k_adapt = int(adapt_windows)
+        self._params0 = params
+        self._stacked0 = bool(params_stacked)
+        self.adapt_losses = None
+
+        def ex(p, f):  # f: (B, h, w, 3) -> pyramids each (B, ...)
+            return model.apply(p, f, method="extract_pyramid")
+
+        def fu(p, l1, l2, l3, xc):  # (B, N, ...) -> (B, H, W, 3)
+            return model.apply(p, l1, l2, l3, xc, method="fuse_pyramid")
+
+        self._ex = {False: jax.jit(ex)}
+        self._fu = {False: jax.jit(fu)}
+        # vmapped-over-params variants (leading B axis on params AND data);
+        # inner calls run single-sample (the [None]/[0] wrap) so module
+        # batch semantics are unchanged.
+        self._ex[True] = jax.jit(jax.vmap(
+            lambda p, f: jax.tree_util.tree_map(
+                lambda a: a[0], model.apply(p, f[None],
+                                            method="extract_pyramid")),
+            in_axes=(0, 0)))
+        self._fu[True] = jax.jit(jax.vmap(
             lambda p, l1, l2, l3, xc: model.apply(
-                p, l1, l2, l3, xc, method="fuse_pyramid"))
+                p, l1[None], l2[None], l3[None], xc[None],
+                method="fuse_pyramid")[0],
+            in_axes=(0, 0, 0, 0, 0)))
         self.reset()
 
     def reset(self) -> None:
+        self.params = self._params0
+        self._stacked = self._stacked0
         self._t = 0          # frames pushed so far
         self._next = 0       # next center index to emit
-        self._buf: Dict[int, Any] = {}  # idx -> ((l1, l2, l3), frame)
+        self._buf: Dict[int, Any] = {}  # idx -> ((l1, l2, l3), frames)
+        self._adapted = self.adapter is None or self.k_adapt <= 0
+        self._raw: List[Any] = []  # warm-up frame buffer (B, h, w, 3) each
 
     # ------------------------------------------------------------- internal
     def _needs(self, i: int) -> int:
@@ -79,11 +149,11 @@ class StreamingSR:
 
     def _emit(self, i: int, max_n: int):
         idx = index_generation(i, max_n, self.n, self.pad)
-        l1 = jnp.stack([self._buf[j][0][0][0] for j in idx])[None]
-        l2 = jnp.stack([self._buf[j][0][1][0] for j in idx])[None]
-        l3 = jnp.stack([self._buf[j][0][2][0] for j in idx])[None]
-        xc = self._buf[idx[self.n // 2]][1][None]
-        return self._fuse(self.params, l1, l2, l3, xc)[0]
+        l1 = jnp.stack([self._buf[j][0][0] for j in idx], axis=1)
+        l2 = jnp.stack([self._buf[j][0][1] for j in idx], axis=1)
+        l3 = jnp.stack([self._buf[j][0][2] for j in idx], axis=1)
+        xc = self._buf[idx[self.n // 2]][1]
+        return self._fu[self._stacked](self.params, l1, l2, l3, xc)
 
     def _evict(self) -> None:
         # No padding strategy references an index more than 2*n below a
@@ -93,14 +163,12 @@ class StreamingSR:
         for j in [j for j in self._buf if j < floor]:
             del self._buf[j]
 
-    # --------------------------------------------------------------- public
-    def push(self, frame) -> List[Tuple[int, Any]]:
-        """Feed one (H, W, 3) frame; returns the SR frames whose windows
-        became complete, as (frame_index, (H*scale, W*scale, 3)) pairs."""
-        frame = jnp.asarray(frame)
-        pyr = self._extract(self.params, frame[None])
-        self._buf[self._t] = (pyr, frame)
+    def _ingest(self, frames) -> None:
+        pyr = self._ex[self._stacked](self.params, frames)
+        self._buf[self._t] = (pyr, frames)
         self._t += 1
+
+    def _drain(self) -> List[Tuple[int, Any]]:
         out = []
         # A window computed with the open-ended border rule is final only
         # if it cannot be an END window of the true clip: that needs the
@@ -113,12 +181,118 @@ class StreamingSR:
             self._evict()
         return out
 
-    def flush(self) -> List[Tuple[int, Any]]:
-        """End of stream: emit the remaining tail windows using the true
-        clip length (end-border padding), then reset."""
+    def _warmup(self, k: int, max_n: int) -> None:
+        """Run the adapter on the first k complete windows of the buffered
+        frames, then ingest the buffer with the ADAPTED params (pyramids
+        must come from the net that serves them)."""
+        frames = jnp.stack(self._raw)  # (t, B, h, w, 3)
+        idx = jnp.asarray(
+            [index_generation(i, max_n, self.n, self.pad) for i in range(k)])
+        windows = frames[idx]  # (K, N, B, h, w, 3)
+        windows = jnp.moveaxis(windows, 2, 0)  # (B, K, N, h, w, 3)
+        if isinstance(self, StreamingSR):
+            self.params, self.adapt_losses = self.adapter(
+                self.params, windows[0])
+        else:
+            self.params, self.adapt_losses = self.adapter(
+                self.params, windows)
+            self._stacked = True
+        self._adapted = True
+        for f in self._raw:
+            self._ingest(f)
+        self._raw = []
+
+    # --------------------------------------------------------------- public
+    def _push(self, frames) -> List[Tuple[int, Any]]:
+        if not self._adapted:
+            self._raw.append(frames)
+            if len(self._raw) >= self.k_adapt + self.n // 2:
+                # The first k_adapt open-rule windows are final AND equal
+                # the offline protocol's rows (start branches of
+                # index_generation are length-independent).
+                self._warmup(self.k_adapt, _OPEN)
+                return self._drain()
+            return []
+        self._ingest(frames)
+        return self._drain()
+
+    def _flush(self) -> List[Tuple[int, Any]]:
+        if not self._adapted:
+            # Stream ended inside the warm-up: adapt on min(K, T) windows
+            # computed with the TRUE length (the offline n_adapt clamp).
+            t = len(self._raw)
+            if t == 0:
+                self.reset()
+                return []
+            self._warmup(min(self.k_adapt, t), t)
         out = []
         t = self._t
         for i in range(self._next, t):
             out.append((i, self._emit(i, t)))
         self.reset()
         return out
+
+
+class StreamingSR(_StreamCore):
+    """Online sliding-window SR over a frame stream (EDVR-family models
+    exposing extract_pyramid/fuse_pyramid).
+
+    Per-frame cost: one pyramid extraction (B=1) + one window fuse per
+    emitted frame — no recomputation of shared neighbors. The pyramid
+    buffer holds O(N) frames (old entries evicted once no future window
+    can reference them).
+
+    With `adapter` (make_streaming_adapter) + `adapt_windows=K`: frames
+    buffer until the first K windows are complete, the k-step adaptation
+    runs once, and the whole stream is then served with the adapted
+    params (module docstring; exactness vs the offline adapted path is
+    pinned by tests/test_streaming.py)."""
+
+    def __init__(self, model, params, n_frames: int = 5,
+                 padding: str = "reflection", adapter=None,
+                 adapt_windows: int = 0):
+        super().__init__(model, params, 1, n_frames, padding,
+                         adapter=adapter, adapt_windows=adapt_windows)
+
+    def push(self, frame) -> List[Tuple[int, Any]]:
+        """Feed one (H, W, 3) frame; returns the SR frames whose windows
+        became complete, as (frame_index, (H*scale, W*scale, 3)) pairs."""
+        out = self._push(jnp.asarray(frame)[None])
+        return [(i, sr[0]) for i, sr in out]
+
+    def flush(self) -> List[Tuple[int, Any]]:
+        """End of stream: emit the remaining tail windows using the true
+        clip length (end-border padding), then reset."""
+        return [(i, sr[0]) for i, sr in self._flush()]
+
+
+class MultiStreamSR(_StreamCore):
+    """B independent streams served in LOCKSTEP: push takes a (B, H, W, 3)
+    stack (frame t of every stream), emissions are (index, (B, H', W', 3))
+    pairs. One batched extract per arrival and one batched fuse per
+    emission amortize the B=1 dispatch/fuse cost that bounds the single
+    stream (results_r03/stream_bench_*: 74.7 ms/frame at B=1 vs ~40
+    ms/window batched).
+
+    params: one shared pytree, or per-stream params stacked on a leading
+    (B,) axis with `params_stacked=True` (the adapt-then-serve mode; fuse
+    and extract are vmapped over params). With `adapter` built via
+    make_streaming_adapter(batched=True), each stream adapts on its OWN
+    first-K windows concurrently and serving continues per-stream-adapted
+    (params become stacked at warm-up)."""
+
+    def __init__(self, model, params, n_streams: int, n_frames: int = 5,
+                 padding: str = "reflection", params_stacked: bool = False,
+                 adapter=None, adapt_windows: int = 0):
+        super().__init__(model, params, n_streams, n_frames, padding,
+                         adapter=adapter, adapt_windows=adapt_windows,
+                         params_stacked=params_stacked)
+
+    def push(self, frames) -> List[Tuple[int, Any]]:
+        """Feed frame t of all B streams as one (B, H, W, 3) stack."""
+        frames = jnp.asarray(frames)
+        assert frames.shape[0] == self.b, (frames.shape, self.b)
+        return self._push(frames)
+
+    def flush(self) -> List[Tuple[int, Any]]:
+        return self._flush()

@@ -68,3 +68,173 @@ def test_streaming_buffer_stays_bounded():
         assert len(stream._buf) <= 2 * 3 + 3
     stream.flush()
     assert stream._t == 0  # reset after flush
+
+
+# ---------------------------------------------------- adapt-then-serve
+def _estimator(hw=16):
+    from dynavsr_tpu.models.networks import define_G
+
+    est = define_G({"scale": 4, "network_G": {"which_model_G": "MFDN",
+                                              "nf": 8}})
+    ep = est.init(jax.random.PRNGKey(9),
+                  jnp.zeros((1, 3, hw, hw, 3)))
+    return est, ep
+
+
+def test_streaming_with_adaptation_matches_offline():
+    """StreamingSR(adapter=..., adapt_windows=K) must equal the offline
+    adapted path: make_adapt_and_infer on the same estimator pseudo-task
+    over the first K windows, then serving every window adapted."""
+    from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
+    from dynavsr_tpu.eval.streaming import make_streaming_adapter
+
+    model, params, frames = _setup(t=7, hw=16)
+    t, n, k = frames.shape[0], 3, 2
+    est, ep = _estimator()
+    cfg = AdaptConfig(n_steps=2, lr=1e-4)
+
+    win = all_windows(t, n, "reflection")
+    windows = frames[jnp.asarray(win)]
+    slr = est.apply(ep, windows[:k])
+    offline = make_adapt_and_infer(model, cfg)
+    sr_off, losses_off = offline(params, slr, windows[:k, n // 2], windows)
+
+    adapter = make_streaming_adapter(model, cfg, est.apply, ep)
+    stream = StreamingSR(model, params, n_frames=n, adapter=adapter,
+                         adapt_windows=k)
+    got = []
+    for f in frames:
+        got.extend(stream.push(f))
+    got.extend(stream.flush())
+    assert [i for i, _ in got] == list(range(t))
+    sr_stream = np.stack([np.asarray(sr) for _, sr in got])
+    np.testing.assert_allclose(sr_stream, np.asarray(sr_off),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stream.adapt_losses),
+                               np.asarray(losses_off), rtol=1e-5, atol=1e-6)
+    # reset restores the un-adapted state for the next clip
+    assert stream._t == 0 and not stream._adapted
+
+
+def test_streaming_adaptation_short_clip_clamps():
+    """A stream shorter than the warm-up adapts on min(K, T) windows with
+    true-length border windows at flush — the offline n_adapt clamp."""
+    from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
+    from dynavsr_tpu.eval.streaming import make_streaming_adapter
+
+    model, params, frames = _setup(t=3, hw=16)
+    t, n, k = frames.shape[0], 3, 8  # warm-up needs 9 frames; clip has 3
+    est, ep = _estimator()
+    cfg = AdaptConfig(n_steps=2, lr=1e-4)
+
+    win = all_windows(t, n, "reflection")
+    windows = frames[jnp.asarray(win)]
+    kk = min(k, t)
+    slr = est.apply(ep, windows[:kk])
+    sr_off, _ = make_adapt_and_infer(model, cfg)(
+        params, slr, windows[:kk, n // 2], windows)
+
+    adapter = make_streaming_adapter(model, cfg, est.apply, ep)
+    stream = StreamingSR(model, params, n_frames=n, adapter=adapter,
+                         adapt_windows=k)
+    got = []
+    for f in frames:
+        got.extend(stream.push(f))
+    assert got == []  # nothing emitted mid-warm-up
+    got = stream.flush()
+    sr_stream = np.stack([np.asarray(sr) for _, sr in got])
+    np.testing.assert_allclose(sr_stream, np.asarray(sr_off),
+                               rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------- multi-stream
+def test_multi_stream_lockstep_matches_single():
+    """MultiStreamSR with shared params == B independent StreamingSRs."""
+    from dynavsr_tpu.eval.streaming import MultiStreamSR
+
+    model, params, _ = _setup()
+    b, t, hw, n = 3, 6, 8, 3
+    clips = jax.random.uniform(jax.random.PRNGKey(11), (b, t, hw, hw, 3))
+
+    ms = MultiStreamSR(model, params, n_streams=b, n_frames=n)
+    got = []
+    for i in range(t):
+        got.extend(ms.push(clips[:, i]))
+    got.extend(ms.flush())
+    assert [i for i, _ in got] == list(range(t))
+    sr_multi = np.stack([np.asarray(sr) for _, sr in got], axis=1)  # (B,T,..)
+
+    for s in range(b):
+        single = StreamingSR(model, params, n_frames=n)
+        ref = []
+        for f in clips[s]:
+            ref.extend(single.push(f))
+        ref.extend(single.flush())
+        sr_ref = np.stack([np.asarray(sr) for _, sr in ref])
+        np.testing.assert_allclose(sr_multi[s], sr_ref, atol=2e-5)
+
+
+def test_multi_stream_per_stream_params():
+    """Stacked per-stream params: each stream must be served by ITS OWN
+    net (the adapt-then-serve deployment mode)."""
+    from dynavsr_tpu.eval.streaming import MultiStreamSR
+
+    model, params, _ = _setup()
+    b, t, hw, n = 2, 5, 8, 3
+    clips = jax.random.uniform(jax.random.PRNGKey(12), (b, t, hw, hw, 3))
+    # two genuinely different nets
+    p2 = model.init(jax.random.PRNGKey(99), clips[:1, :3, :, :, :][0][None])
+    stacked = jax.tree_util.tree_map(
+        lambda a, c: jnp.stack([a, c]), params, p2)
+
+    ms = MultiStreamSR(model, stacked, n_streams=b, n_frames=n,
+                       params_stacked=True)
+    got = []
+    for i in range(t):
+        got.extend(ms.push(clips[:, i]))
+    got.extend(ms.flush())
+    sr_multi = np.stack([np.asarray(sr) for _, sr in got], axis=1)
+
+    for s, p in enumerate([params, p2]):
+        single = StreamingSR(model, p, n_frames=n)
+        ref = []
+        for f in clips[s]:
+            ref.extend(single.push(f))
+        ref.extend(single.flush())
+        sr_ref = np.stack([np.asarray(sr) for _, sr in ref])
+        np.testing.assert_allclose(sr_multi[s], sr_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_multi_stream_adaptation_per_stream():
+    """Batched adapter: every stream adapts on its own windows; output
+    equals B independent adapted single streams."""
+    from dynavsr_tpu.adapt.adaptation import AdaptConfig
+    from dynavsr_tpu.eval.streaming import MultiStreamSR, make_streaming_adapter
+
+    model, params, _ = _setup(hw=16)
+    b, t, hw, n, k = 2, 6, 16, 3, 2
+    clips = jax.random.uniform(jax.random.PRNGKey(13), (b, t, hw, hw, 3))
+    est, ep = _estimator()
+    cfg = AdaptConfig(n_steps=2, lr=1e-4)
+
+    ms = MultiStreamSR(model, params, n_streams=b, n_frames=n,
+                       adapter=make_streaming_adapter(model, cfg, est.apply,
+                                                      ep, batched=True),
+                       adapt_windows=k)
+    got = []
+    for i in range(t):
+        got.extend(ms.push(clips[:, i]))
+    got.extend(ms.flush())
+    assert [i for i, _ in got] == list(range(t))
+    sr_multi = np.stack([np.asarray(sr) for _, sr in got], axis=1)
+
+    adapter1 = make_streaming_adapter(model, cfg, est.apply, ep)
+    for s in range(b):
+        single = StreamingSR(model, params, n_frames=n, adapter=adapter1,
+                             adapt_windows=k)
+        ref = []
+        for f in clips[s]:
+            ref.extend(single.push(f))
+        ref.extend(single.flush())
+        sr_ref = np.stack([np.asarray(sr) for _, sr in ref])
+        np.testing.assert_allclose(sr_multi[s], sr_ref, rtol=1e-4, atol=1e-4)

@@ -7,11 +7,24 @@ This is the per-frame latency floor of the deployed streaming server —
 including the real per-call dispatch cost, which is part of the serving
 model (you cannot batch frames that haven't arrived).
 
+Modes beyond the plain single stream:
+  --adapt       adapt-then-serve (the DynaVSR product, online): an MFDN
+                pseudo-task + k-step adaptation runs once the first
+                adapt-windows are complete (StreamingSR adapter warm-up);
+                reports the warm-up push latency separately from the
+                steady-state serving rate.
+  --streams B   B lockstep streams (MultiStreamSR): one batched extract
+                per arrival step, one batched fuse per emission — the
+                multi-stream throughput mode; reports ms/frame/stream.
+                Composes with --adapt (per-stream batched adaptation).
+
 Reports, for EDVR-M at Vid4-like LR shapes (144x176, x4):
-  - steady-state ms/frame (timed clip pass / frames emitted),
+  - steady-state ms/frame (timed clip pass / frames emitted; per stream
+    when --streams > 1),
   - median per-push latency for pushes that emit a frame (arrival ->
     SR pixel forced on host), i.e. user-visible added latency beyond the
-    structural N//2-frame emission lag.
+    structural N//2-frame emission lag,
+  - with --adapt: the warm-up push latency (adaptation + first burst).
 
 Tunnel hygiene (CLAUDE.md): inputs vary per frame and per pass; each
 emitted frame is forced by fetching a single pixel (np.asarray(sr[0, 0])
@@ -19,6 +32,7 @@ emitted frame is forced by fetching a single pixel (np.asarray(sr[0, 0])
 pass is authoritative; run twice in fresh processes and trust run 2.
 
 Run: python tools/stream_bench.py [--groups 1] [--frames 24] [--quick]
+     [--adapt] [--streams B]
 """
 
 from __future__ import annotations
@@ -43,12 +57,24 @@ def main():
                     help="clip length per timed pass")
     ap.add_argument("--passes", type=int, default=3,
                     help="timed passes (best reported; pass 0 compiles)")
+    ap.add_argument("--adapt", action="store_true",
+                    help="adapt-then-serve: MFDN pseudo-task + k-step "
+                         "adaptation on the first --adapt-windows windows")
+    ap.add_argument("--adapt-windows", type=int, default=8)
+    ap.add_argument("--adapt-steps", type=int, default=5)
+    ap.add_argument("--streams", type=int, default=1,
+                    help="lockstep streams (MultiStreamSR batching)")
     ap.add_argument("--quick", action="store_true",
                     help="tiny config CPU/smoke mode")
     args = ap.parse_args()
 
-    from dynavsr_tpu.eval.streaming import StreamingSR
+    from dynavsr_tpu.eval.streaming import (
+        MultiStreamSR,
+        StreamingSR,
+        make_streaming_adapter,
+    )
     from dynavsr_tpu.models.edvr import EDVR
+    from dynavsr_tpu.models.networks import define_G
     from dynavsr_tpu.utils.util import enable_compilation_cache
 
     enable_compilation_cache()
@@ -57,51 +83,82 @@ def main():
         model = EDVR(nf=8, nframes=3, groups=2, front_RBs=1, back_RBs=1,
                      dtype=jnp.bfloat16)
         n_frames, h, w, t = 3, 16, 16, max(6, min(args.frames, 8))
+        args.adapt_windows = min(args.adapt_windows, 2)
     else:
         model = EDVR(nf=64, nframes=5, groups=args.groups, front_RBs=5,
                      back_RBs=10, dtype=jnp.bfloat16)
         n_frames, h, w, t = 5, 144, 176, args.frames
 
+    b = args.streams
     key = jax.random.PRNGKey(0)
     params = model.init(
         key, jax.random.uniform(key, (1, n_frames, h, w, 3), jnp.float32))
-    stream = StreamingSR(model, params, n_frames=n_frames)
+
+    adapter = None
+    if args.adapt:
+        from dynavsr_tpu.adapt.adaptation import AdaptConfig
+
+        est = define_G({"scale": 4, "network_G": {
+            "which_model_G": "MFDN", "nf": 8 if args.quick else 64,
+            "dtype": "bfloat16"}})
+        ep = jax.jit(est.init)(jax.random.PRNGKey(1),
+                               jnp.zeros((1, n_frames, h, w, 3)))
+        adapter = make_streaming_adapter(
+            model, AdaptConfig(n_steps=args.adapt_steps, lr=1e-6),
+            est.apply, ep, batched=b > 1)
+    k_adapt = args.adapt_windows if args.adapt else 0
+
+    if b > 1:
+        stream = MultiStreamSR(model, params, n_streams=b,
+                               n_frames=n_frames, adapter=adapter,
+                               adapt_windows=k_adapt)
+    else:
+        stream = StreamingSR(model, params, n_frames=n_frames,
+                             adapter=adapter, adapt_windows=k_adapt)
+    warm_at = k_adapt + n_frames // 2 - 1 if args.adapt else -1
 
     best_ms_frame = None
     for p in range(args.passes):
+        shape = (t, b, h, w, 3) if b > 1 else (t, h, w, 3)
         frames = np.asarray(jax.random.uniform(
-            jax.random.PRNGKey(1000 + p), (t, h, w, 3), jnp.float32))
+            jax.random.PRNGKey(1000 + p), shape, jnp.float32))
         stream.reset()
         push_lat = []
+        warm_lat = float("nan")
         emitted = 0
         t0 = time.perf_counter()
-        for f in frames:
+        for j, f in enumerate(frames):
             tp = time.perf_counter()
             out = stream.push(f)
             for _, sr in out:
-                np.asarray(sr[0, 0])  # force; 3-float fetch
-            if out:
+                np.asarray(sr[..., 0, 0, :][..., 0])  # force; tiny fetch
+            if j == warm_at:
+                warm_lat = time.perf_counter() - tp
+            elif out:
                 push_lat.append(time.perf_counter() - tp)
-                emitted += len(out)
+            emitted += len(out)
         for _, sr in stream.flush():
-            np.asarray(sr[0, 0])
+            np.asarray(sr[..., 0, 0, :][..., 0])
             emitted += 1
         total = time.perf_counter() - t0
         assert emitted == t, (emitted, t)
-        ms_frame = total / emitted * 1e3
+        ms_frame = total / (emitted * b) * 1e3
         med_push = float(np.median(push_lat)) * 1e3 if push_lat else float("nan")
         tag = "compile" if p == 0 else "timed"
-        print(f"# pass {p} ({tag}): {ms_frame:.1f} ms/frame steady-state, "
-              f"median emitting-push latency {med_push:.1f} ms "
-              f"({emitted} frames, {total:.3f} s)", flush=True)
+        warm_txt = f", warm-up push {warm_lat*1e3:.1f} ms" if args.adapt else ""
+        print(f"# pass {p} ({tag}): {ms_frame:.1f} ms/frame/stream "
+              f"steady-state, median emitting-push latency {med_push:.1f} ms"
+              f"{warm_txt} ({emitted} frames x {b} streams, {total:.3f} s)",
+              flush=True)
         if p > 0:
             best_ms_frame = ms_frame if best_ms_frame is None \
                 else min(best_ms_frame, ms_frame)
 
     if best_ms_frame is not None:
-        print(f"streaming groups={args.groups} shape=({t},{h},{w},3): "
-              f"{best_ms_frame:.1f} ms/frame = {1e3 / best_ms_frame:.2f} fps",
-              flush=True)
+        print(f"streaming groups={args.groups} streams={b} "
+              f"adapt={args.adapt} shape=({t},{h},{w},3): "
+              f"{best_ms_frame:.1f} ms/frame/stream = "
+              f"{1e3 / best_ms_frame:.2f} fps/stream", flush=True)
 
 
 if __name__ == "__main__":
