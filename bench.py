@@ -351,21 +351,22 @@ def _measure_tof_serve(args) -> float:
 
 def _measure_duf_serve(args) -> float:
     """DUF-16L x4 serving forward, ms/window, at Vid4 LR shapes (7-frame
-    windows — duf.py forward replicates ends). Builds through define_G so
-    the bench always measures the DEPLOYED default (incl. the trunk-packing
-    knob, networks.py s2d_conv); the on/off A/B is tools/duf_serve_bench.py.
+    windows — duf.py forward replicates ends). Builds through define_G +
+    serving_clone so the bench measures the DEPLOYED eval path (packed
+    trunk by default; gradient workloads keep the plain trunk — see
+    networks.serving_clone); the on/off A/B is tools/duf_serve_bench.py.
     Repeats amortized inside one executable, same as _measure_tof_serve."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from dynavsr_tpu.models.networks import define_G
+    from dynavsr_tpu.models.networks import define_G, serving_clone
 
     b, h, w = (1, 16, 16) if args.quick else (4, 144, 176)
     reps = max(2, min(args.repeats, 8))
-    model = define_G({"scale": 4,
-                      "network_G": {"which_model_G": "DUF_16L",
-                                    "dtype": "bfloat16"}})
+    opt_net = {"which_model_G": "DUF_16L", "dtype": "bfloat16"}
+    model = serving_clone(define_G({"scale": 4, "network_G": opt_net}),
+                          opt_net)
     ks = jax.random.split(jax.random.PRNGKey(0), 2)
     x = jax.random.uniform(ks[0], (b, 7, h, w, 3))
     params = jax.jit(model.init)(ks[1], x[:1])

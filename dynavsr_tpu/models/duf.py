@@ -143,11 +143,13 @@ class DUF(nn.Module):
     growth: int = 32
     train: bool = False
     dtype: Any = None
-    # Packed-trunk schedule (module docstring). Measured 2.78x serving win
-    # on v5e (40.1 -> 14.4 ms/window, results_r03/duf_serve_ab_run2.log) —
-    # define_G defaults it ON (network_G.s2d_conv: false opts out); falls
-    # back to plain automatically on odd spatial sizes. The module default
-    # stays False so bare DUF() keeps layout-free semantics in unit tests.
+    # Packed-trunk schedule (module docstring). Per-workload defaults:
+    # pure serving wins 1.6-5.2x at every batch size
+    # (results_r04/duf_serve_batch_sweep.log) -> networks.serving_clone
+    # flips it ON for eval-only forwards; the backward is ~2.4x SLOWER
+    # (results_r04/duf_packed_adapt_bench.log), so define_G keeps the
+    # plain trunk for train/adapt. network_G.s2d_conv forces both. Falls
+    # back to plain automatically on odd spatial sizes.
     s2d: bool = False
 
     @nn.compact

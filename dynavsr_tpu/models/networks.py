@@ -14,7 +14,25 @@ from dynavsr_tpu.models.duf import DUF
 from dynavsr_tpu.models.edvr import EDVR
 from dynavsr_tpu.models.tof import TOFlow
 
-__all__ = ["define_G"]
+__all__ = ["define_G", "serving_clone"]
+
+
+def serving_clone(netG, opt_net: Mapping | None):
+    """Pure-serving (no-gradient eval) variant of a define_G net.
+
+    DUF gets the channel-major packed trunk: measured 1.6-5.2x faster
+    forward at every batch size (B=2: 5.2x, B=16: 1.62x —
+    results_r04/duf_serve_batch_sweep.log). It is NOT the define_G
+    default because the packed backward is ~2.4x slower, which loses the
+    adapt+infer product (38.5 vs 68.3 fps) and would slow training —
+    gradient workloads keep the plain trunk. An explicit
+    network_G.s2d_conv forces both workloads (no clone). Params are
+    interchangeable between the two schedules (identical pytree —
+    tests/test_models.py equivalence test), so eval paths can swap
+    freely."""
+    if isinstance(netG, DUF) and (opt_net or {}).get("s2d_conv") is None:
+        return netG.clone(s2d=True)
+    return netG
 
 
 def _dtype(opt_net):
@@ -57,11 +75,15 @@ def define_G(opt: Mapping[str, Any]):
                       s2d=True if s2d is None else bool(s2d))
     if which in ("DUF_16L", "DUF_28L", "DUF_52L"):
         layers = {"DUF_16L": 3, "DUF_28L": 9, "DUF_52L": 21}[which]
-        # Packed trunk default-ON: measured 2.78x serving win on v5e
-        # (results_r03/duf_serve_ab_run2.log; duf.py docstring).
-        s2d = opt_net.get("s2d_conv")
+        # PLAIN trunk: the gradient-workload default (train / test-time
+        # adaptation). The packed trunk wins pure serving at every batch
+        # size (1.6-5.2x, results_r04/duf_serve_batch_sweep.log) but its
+        # backward is ~2.4x slower (results_r04/duf_packed_adapt_bench.log
+        # vs results_r03/duf_adapt_bench_run2.log) — serving_clone()
+        # switches eval-only forwards to packed; s2d_conv in YAML forces
+        # BOTH workloads.
         return DUF(scale=scale, dense1_layers=layers, dtype=dt,
-                   s2d=True if s2d is None else bool(s2d))
+                   s2d=bool(opt_net.get("s2d_conv", False)))
     if which == "MFDN":
         return MFDN(scale=scale, nf=opt_net.get("nf", 64), dtype=dt)
     if which == "SFDN":

@@ -115,7 +115,13 @@ class VideoBaseModel:
         # over ('data',)) — the reference's rank-0 validation would idle
         # 7 of 8 chips (round-2 VERDICT weak-spot 4). make_infer_fn pads
         # ragged window batches to the mesh size.
-        self._eval_step = make_eval_step(self.netG, mesh=self.mesh)
+        # Eval forwards use the SERVING variant of the net (DUF: packed
+        # trunk, 1.6-5.2x faster forward; identical params) — gradient
+        # paths keep self.netG (networks.serving_clone docstring).
+        from dynavsr_tpu.models.networks import serving_clone
+
+        self._eval_net = serving_clone(self.netG, opt.get("network_G"))
+        self._eval_step = make_eval_step(self._eval_net, mesh=self.mesh)
 
     # -------------------------------------------------- reference interface
     def load_pretrained(self, path: str, like):

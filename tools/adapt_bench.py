@@ -34,9 +34,10 @@ def main():
                          "pre-upscaled 576x704 windows spill one chip — "
                          "0 otherwise)")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--duf-plain", action="store_true",
-                    help="DUF only: plain (unpacked) trunk instead of the "
-                         "deployed packed-trunk default")
+    ap.add_argument("--duf-s2d", action="store_true",
+                    help="DUF only: packed trunk instead of the deployed "
+                         "plain gradient-workload default (packed backward "
+                         "measured ~2.4x slower — networks.serving_clone)")
     ap.add_argument("--chunk-budget", type=int, default=0,
                     help="ops.dcn_fused frame-chunk budget in bytes")
     ap.add_argument("--dcn-impl", default=None,
@@ -76,11 +77,12 @@ def main():
     elif args.arch == "duf":
         from dynavsr_tpu.models.duf import DUF
 
-        # s2d mirrors the define_G deployed default (packed trunk, measured
-        # 2.78x serving win); --duf-plain measures the plain-trunk baseline.
+        # Plain trunk = the deployed adapt+infer default (the packed
+        # backward loses the product: 38.5 vs 68.3 fps —
+        # results_r04/duf_packed_adapt_bench.log); --duf-s2d A/Bs packed.
         model, which, nframes = DUF(scale=4, dense1_layers=3,
                                     dtype=jnp.bfloat16,
-                                    s2d=not args.duf_plain), "DUF_16L", 7
+                                    s2d=args.duf_s2d), "DUF_16L", 7
         chunk = 0 if args.infer_chunk is None else args.infer_chunk
     else:
         model = EDVR(nf=64, nframes=5, groups=args.groups, front_RBs=5,
