@@ -606,3 +606,77 @@ def test_dynavsr_seq_clip_parallel_cli(workdir, monkeypatch):
     for clip in ("clipA", "clipB"):
         np.testing.assert_allclose(
             par[clip]["psnr"], serial[clip]["psnr"], rtol=0, atol=0.05)
+
+
+# ------------------------------------------ shipped test-config protocols
+def _patched_shipped_config(name, workdir, **net_patch):
+    """Load a shipped configs/test YAML, repoint its datasets at the
+    synthetic clip tree, strip pretrained-weight paths, shrink the net
+    (protocol smoke, not quality), and write it under workdir."""
+    import os.path as osp
+
+    import yaml
+
+    src = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                   "configs", "test", name)
+    with open(src) as f:
+        opt = yaml.safe_load(f)
+    for ds in opt["datasets"].values():
+        ds["dataroot_GT"] = str(workdir / "GT")
+        ds["dataroot_LQ"] = str(workdir / "LQ")
+        ds.pop("meta_info_file", None)
+        ds["N_frames"] = min(int(ds.get("N_frames") or 5), 7)
+    opt["path"] = {}
+    opt["network_G"].update(net_patch)
+    if "adapt" in opt:
+        opt["adapt"].update({"n_steps": 2, "n_windows": 2, "infer_chunk": 0})
+    dst = workdir / name
+    dst.write_text(yaml.safe_dump(opt, sort_keys=False))
+    return str(dst)
+
+
+def test_shipped_vimeo90k_center_only_cli(workdir, monkeypatch):
+    """test_Vimeo90K.yml protocol end-to-end: Vimeo90K_test mode scores
+    ONLY the center frame of each sequence (reference video_test_dataset
+    'Vimeo90K' branch), Y-channel PSNR."""
+    from dynavsr_tpu.cli import test as test_cli
+
+    yml = _patched_shipped_config(
+        "test_Vimeo90K.yml", workdir,
+        nf=8, nframes=7, groups=2, front_RBs=1, back_RBs=1)
+    monkeypatch.chdir(workdir)
+    results = test_cli.main(["-opt", yml, "--no-save-images"])["test"]
+    for clip in ("clipA", "clipB"):
+        assert len(results[clip]["psnr"]) == 1  # center frame ONLY
+    assert np.isfinite(results["_avg"]["psnr_avg"])
+
+
+def test_shipped_duf28l_cli(workdir, monkeypatch):
+    """test_DUF_28L_Vid4.yml protocol: DUF_28L dispatch (9 dense-1 layers)
+    through the real eval CLI with the reference's 8px border crop; the
+    eval forward runs the packed serving trunk via networks.serving_clone
+    (input 8x8 is even, so the packed schedule engages)."""
+    from dynavsr_tpu.cli import test as test_cli
+
+    yml = _patched_shipped_config("test_DUF_28L_Vid4.yml", workdir)
+    monkeypatch.chdir(workdir)
+    results = test_cli.main(["-opt", yml, "--no-save-images"])["test"]
+    for clip in ("clipA", "clipB"):
+        assert len(results[clip]["psnr"]) == 12
+    assert np.isfinite(results["_avg"]["psnr_avg"])
+
+
+def test_shipped_sfdn_dynavsr_cli(workdir, monkeypatch):
+    """test_DynaVSR_SFDN_Vid4.yml protocol: the SFDN (single-frame)
+    estimator drives the adaptation pseudo-task through the shipped
+    config (reference SFDN path — SURVEY.md §2.1 MFDN/SFDN row)."""
+    from dynavsr_tpu.cli import test_dynavsr as td_cli
+
+    yml = _patched_shipped_config(
+        "test_DynaVSR_SFDN_Vid4.yml", workdir,
+        nf=8, nframes=3, groups=2, front_RBs=1, back_RBs=1)
+    monkeypatch.chdir(workdir)
+    results = td_cli.main(["-opt", yml, "--no-save-images"])
+    for clip in ("clipA", "clipB"):
+        assert np.all(np.isfinite(results[clip]["adapt_losses"]))
+    assert np.isfinite(results["_avg"]["psnr_avg"])

@@ -129,3 +129,27 @@ def test_all_shipped_configs_build(tmp_path):
     for yml in test_ymls:
         opt = parse(yml, is_train=False, root=str(tmp_path))
         assert define_G(opt) is not None
+
+
+def test_all_shipped_configs_parse():
+    """Every YAML shipped under configs/ must load through config.parse
+    with its phase's is_train flag (reference options tree port —
+    SURVEY.md §2.5; catches config rot as the tree grows)."""
+    import glob
+    import os.path as osp
+
+    from dynavsr_tpu.config import parse
+
+    root = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "configs")
+    files = sorted(glob.glob(osp.join(root, "*", "*.yml")))
+    assert len(files) >= 17, files
+    for f in files:
+        is_train = osp.basename(osp.dirname(f)) == "train"
+        opt = parse(f, is_train=is_train, root="/tmp/cfg_parse_smoke")
+        assert opt["name"]
+        assert opt["network_G"]["which_model_G"]
+        if is_train:
+            assert any(d.get("phase") == "train"
+                       for d in (opt["datasets"] or {}).values())
+        else:
+            assert "results_root" in opt["path"]
