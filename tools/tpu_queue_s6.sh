@@ -13,9 +13,10 @@
 # Invariants (CLAUDE.md): ONE process on the tunnel — strictly serial;
 # every step timeout-bounded; /tmp/tpu_stop sentinel checked between
 # steps for graceful handoff before the driver's bench.
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
-echo $$ > /tmp/tpu_queue.pid
+echo $$ > /tmp/tpu_queue_s6.pid
+trap 'rm -f /tmp/tpu_queue_s6.pid' EXIT
 R=results_r03
 mkdir -p "$R"
 
@@ -38,24 +39,26 @@ EOF
 if [ $? -ne 0 ]; then echo "probe failed — tunnel still wedged"; exit 1; fi
 
 step "default bench — run 1 (cold compiles; number NOT authoritative)"
-timeout 5400 python bench.py 2>&1 | tee "$R/bench_default_s6_run1.log"
+timeout 5400 python bench.py 2>&1 | tee "$R/bench_default_s6_run1.log"; echo "[queue] rc=$?"
 
 step "default bench — run 2 (fresh process, cached; authoritative)"
-timeout 3600 python bench.py 2>&1 | tee "$R/bench_default_s6_run2.log"
+timeout 3600 python bench.py 2>&1 | tee "$R/bench_default_s6_run2.log"; echo "[queue] rc=$?"
 
 step "DUF packed-trunk serve A/B — run 1 (compiles)"
-timeout 2400 python tools/duf_serve_bench.py --mode both 2>&1 | tee "$R/duf_serve_ab_run1.log"
+timeout 2400 python tools/duf_serve_bench.py --mode both 2>&1 | tee "$R/duf_serve_ab_run1.log"; echo "[queue] rc=$?"
 step "DUF packed-trunk serve A/B — run 2 (cached; authoritative)"
-timeout 1200 python tools/duf_serve_bench.py --mode both 2>&1 | tee "$R/duf_serve_ab_run2.log"
+timeout 1200 python tools/duf_serve_bench.py --mode both 2>&1 | tee "$R/duf_serve_ab_run2.log"; echo "[queue] rc=$?"
 
 step "DUF adapt+infer segment bench — run 1 (compiles)"
-timeout 3000 python tools/adapt_bench.py --arch duf 2>&1 | tee "$R/duf_adapt_bench_run1.log"
+timeout 3000 python tools/adapt_bench.py --arch duf 2>&1 | tee "$R/duf_adapt_bench_run1.log"; echo "[queue] rc=$?"
 step "DUF adapt+infer segment bench — run 2 (cached; authoritative)"
-timeout 1500 python tools/adapt_bench.py --arch duf 2>&1 | tee "$R/duf_adapt_bench_run2.log"
+timeout 1500 python tools/adapt_bench.py --arch duf 2>&1 | tee "$R/duf_adapt_bench_run2.log"; echo "[queue] rc=$?"
 
-step "streaming serving latency (pass 0 compiles in-process)"
-timeout 2400 python tools/stream_bench.py --groups 1 2>&1 | tee "$R/stream_bench_gd1_run1.log"
-timeout 1200 python tools/stream_bench.py --groups 1 2>&1 | tee "$R/stream_bench_gd1_run2.log"
-timeout 2400 python tools/stream_bench.py --groups 2 2>&1 | tee "$R/stream_bench_gd2.log"
+step "streaming serving latency gd1 run 1 (pass 0 compiles in-process)"
+timeout 2400 python tools/stream_bench.py --groups 1 2>&1 | tee "$R/stream_bench_gd1_run1.log"; echo "[queue] rc=$?"
+step "streaming serving latency gd1 run 2"
+timeout 1200 python tools/stream_bench.py --groups 1 2>&1 | tee "$R/stream_bench_gd1_run2.log"; echo "[queue] rc=$?"
+step "streaming serving latency gd2"
+timeout 2400 python tools/stream_bench.py --groups 2 2>&1 | tee "$R/stream_bench_gd2.log"; echo "[queue] rc=$?"
 
 step "queue done"
