@@ -225,10 +225,13 @@ def main() -> None:
     if args.edvr_l_serve:
         # EDVR-L serving: big activations at 16x5x144x176 — chunk inference
         # into 4-window batches to bound live memory on one 16 GB chip.
+        # --seq composes: nf=128 extraction is heavier, so the shared-
+        # pyramid dedup should matter more than on EDVR-M.
         fps = _measure_adapt_infer(args, groups=8, nf=128, back=40,
-                                   infer_chunk=4)
+                                   infer_chunk=4, seq=args.seq)
         print(json.dumps({
-            "metric": "edvr_l_x4_fps_per_chip_with_adaptation",
+            "metric": "edvr_l_x4_fps_per_chip_with_adaptation"
+                      + ("_seq" if args.seq else ""),
             "value": round(fps, 3),
             "unit": "frames/sec/chip",
             "vs_baseline": None,

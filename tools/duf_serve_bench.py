@@ -25,13 +25,34 @@ import numpy as np
 
 
 def bench(s2d: bool, reps: int, batch: int, layers: int,
-          h: int = 144, w: int = 176) -> float:
+          h: int = 144, w: int = 176, dispatch: bool = False) -> float:
     from dynavsr_tpu.models.duf import DUF
 
     model = DUF(scale=4, dense1_layers=layers, dtype=jnp.bfloat16, s2d=s2d)
     ks = jax.random.split(jax.random.PRNGKey(0), 2)
     x = jax.random.uniform(ks[0], (batch, 7, h, w, 3))
     params = jax.jit(model.init)(ks[1], x[:1])
+
+    if dispatch:
+        # Per-call regime (what adapt_bench's infer leg measures): each
+        # rep is its own tunnel dispatch on a distinct device-resident
+        # input; best-of-reps. Compares against the amortized fori_loop
+        # regime below to bound the dispatch/loop-scheduling delta.
+        f = jax.jit(lambda x: model.apply(params, x)[0, :4, 0, 0])
+        inputs = [jax.random.uniform(jax.random.PRNGKey(100 + i), x.shape)
+                  for i in range(reps + 1)]
+        _ = np.asarray(f(inputs[0]))  # compile + warm
+        times = []
+        for xi in inputs[1:]:
+            t0 = time.perf_counter()
+            _ = np.asarray(f(xi))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        print(f"s2d={s2d} batch={batch} layers={layers} [per-call]: "
+              f"{dt*1e3:.1f} ms/batch = {dt/batch*1e3:.1f} ms/window "
+              f"({batch/dt:.2f} windows/s) times="
+              f"{[round(t*1e3,1) for t in times]}", flush=True)
+        return dt
 
     def body(i, acc):
         xi = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
@@ -56,6 +77,10 @@ def main():
                     help="dense1_layers (16L:3, 28L:9, 52L:21)")
     ap.add_argument("--h", type=int, default=144)
     ap.add_argument("--w", type=int, default=176)
+    ap.add_argument("--dispatch", action="store_true",
+                    help="per-call timing regime (separate dispatches on "
+                         "distinct inputs) instead of the amortized "
+                         "in-executable fori_loop")
     args = ap.parse_args()
 
     from dynavsr_tpu.utils.util import enable_compilation_cache
@@ -63,10 +88,10 @@ def main():
     enable_compilation_cache()
     if args.mode in ("plain", "both"):
         t_plain = bench(False, args.reps, args.batch, args.layers,
-                        args.h, args.w)
+                        args.h, args.w, args.dispatch)
     if args.mode in ("s2d", "both"):
         t_s2d = bench(True, args.reps, args.batch, args.layers,
-                      args.h, args.w)
+                      args.h, args.w, args.dispatch)
     if args.mode == "both":
         print(f"speedup: {t_plain/t_s2d:.2f}x", flush=True)
 
