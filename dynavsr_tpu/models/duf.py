@@ -143,13 +143,15 @@ class DUF(nn.Module):
     growth: int = 32
     train: bool = False
     dtype: Any = None
-    # Packed-trunk schedule (module docstring). Per-workload defaults:
-    # pure serving wins 1.6-5.2x at every batch size
-    # (results_r04/duf_serve_batch_sweep.log) -> networks.serving_clone
-    # flips it ON for eval-only forwards; the backward is ~2.4x SLOWER
-    # (results_r04/duf_packed_adapt_bench.log), so define_G keeps the
-    # plain trunk for train/adapt. network_G.s2d_conv forces both. Falls
-    # back to plain automatically on odd spatial sizes.
+    # Packed-trunk schedule (module docstring): OFF for every workload.
+    # A measured negative kept as an opt-in (network_G.s2d_conv): in the
+    # session-reproducible per-call regime the packed forward LOSES at
+    # every batch size (0.83-0.90x, results_r04/duf_dispatch_*.log) and
+    # the backward is ~2.4x slower (duf_packed_adapt_bench.log). The
+    # earlier "1.6-5.2x packed win" (duf_serve_batch_sweep.log) was an
+    # artifact of the amortized fori_loop timing regime, which does not
+    # reproduce across sessions on the tunnel (networks.serving_clone
+    # docstring). Falls back to plain automatically on odd spatial sizes.
     s2d: bool = False
 
     @nn.compact

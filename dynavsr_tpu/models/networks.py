@@ -20,18 +20,24 @@ __all__ = ["define_G", "serving_clone"]
 def serving_clone(netG, opt_net: Mapping | None):
     """Pure-serving (no-gradient eval) variant of a define_G net.
 
-    DUF gets the channel-major packed trunk: measured 1.6-5.2x faster
-    forward at every batch size (B=2: 5.2x, B=16: 1.62x —
-    results_r04/duf_serve_batch_sweep.log). It is NOT the define_G
-    default because the packed backward is ~2.4x slower, which loses the
-    adapt+infer product (38.5 vs 68.3 fps) and would slow training —
-    gradient workloads keep the plain trunk. An explicit
-    network_G.s2d_conv forces both workloads (no clone). Params are
-    interchangeable between the two schedules (identical pytree —
-    tests/test_models.py equivalence test), so eval paths can swap
-    freely."""
-    if isinstance(netG, DUF) and (opt_net or {}).get("s2d_conv") is None:
-        return netG.clone(s2d=True)
+    Currently the identity: the DUF channel-major packed trunk this hook
+    was built for turned out to LOSE the production serving regime. The
+    round-3/4a "1.6-5.2x packed win" came from the amortized
+    in-executable fori_loop timing regime, which round 4b showed is not
+    reproducible across sessions on the TPU tunnel (the identical cached
+    executable + inputs read 58->172->243 ms/batch across three
+    sessions — results_r04/tpu_queue_r4c.log). In the per-call regime
+    (one dispatch per batch of distinct windows — what serving actually
+    does, and stable to ~1% across sessions), the PLAIN trunk wins at
+    every batch size: B=2 0.90x, B=4 0.88x, B=8 0.85x, B=16 0.83x
+    (packed/plain; results_r04/duf_dispatch_*.log), consistent with the
+    product-level adapt_bench (plain infer 10.3 ms/window vs packed
+    12.8). The packed trunk remains available as an explicit
+    network_G.s2d_conv opt-in (parity-tested, identical param pytree);
+    the hook is kept so eval call-sites stay declarative about which
+    schedule they want. TOF's phase-packed conv path is unaffected: its
+    1.5-1.6x win holds in BOTH regimes
+    (results_r04/tof_dispatch_ab_run1.log)."""
     return netG
 
 

@@ -115,9 +115,10 @@ class VideoBaseModel:
         # over ('data',)) — the reference's rank-0 validation would idle
         # 7 of 8 chips (round-2 VERDICT weak-spot 4). make_infer_fn pads
         # ragged window batches to the mesh size.
-        # Eval forwards use the SERVING variant of the net (DUF: packed
-        # trunk, 1.6-5.2x faster forward; identical params) — gradient
-        # paths keep self.netG (networks.serving_clone docstring).
+        # Eval forwards go through networks.serving_clone — currently
+        # the identity (the DUF packed trunk it selected lost the
+        # per-call production regime A/B; networks.py docstring), kept
+        # so eval call-sites stay declarative about the schedule.
         from dynavsr_tpu.models.networks import serving_clone
 
         self._eval_net = serving_clone(self.netG, opt.get("network_G"))

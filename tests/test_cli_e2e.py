@@ -653,9 +653,9 @@ def test_shipped_vimeo90k_center_only_cli(workdir, monkeypatch):
 
 def test_shipped_duf28l_cli(workdir, monkeypatch):
     """test_DUF_28L_Vid4.yml protocol: DUF_28L dispatch (9 dense-1 layers)
-    through the real eval CLI with the reference's 8px border crop; the
-    eval forward runs the packed serving trunk via networks.serving_clone
-    (input 8x8 is even, so the packed schedule engages)."""
+    through the real eval CLI with the reference's 8px border crop, on
+    the plain trunk (the shipped default for all DUF workloads —
+    networks.serving_clone docstring)."""
     from dynavsr_tpu.cli import test as test_cli
 
     yml = _patched_shipped_config("test_DUF_28L_Vid4.yml", workdir)

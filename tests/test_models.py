@@ -268,23 +268,24 @@ def test_duf_s2d_conv_equivalence():
     fs, _ = ravel_pytree(m_s["batch_stats"])
     fp, _ = ravel_pytree(m_p["batch_stats"])
     np.testing.assert_allclose(np.asarray(fs), np.asarray(fp), atol=1e-5)
-    # Per-workload defaults: define_G ships the PLAIN trunk (gradient
-    # workloads — the packed backward is ~2.4x slower), serving_clone
-    # switches pure-eval forwards to packed (1.6-5.2x at every batch —
-    # results_r04/duf_serve_batch_sweep.log); explicit s2d_conv forces
-    # both workloads.
+    # Defaults: define_G ships the PLAIN trunk for every workload — the
+    # packed trunk loses the per-call production serving regime at every
+    # batch size (0.83-0.90x, results_r04/duf_dispatch_*.log) and its
+    # backward is ~2.4x slower; serving_clone is the identity (kept as a
+    # declarative hook — networks.py docstring). Explicit s2d_conv still
+    # opts in through define_G.
     from dynavsr_tpu.models.networks import serving_clone
 
     opt_net = {"which_model_G": "DUF_16L"}
     g = define_G({"scale": 4, "network_G": opt_net})
-    assert not g.s2d and serving_clone(g, opt_net).s2d
+    assert not g.s2d and serving_clone(g, opt_net) is g
     opt_on = {"which_model_G": "DUF_16L", "s2d_conv": True}
     g_on = define_G({"scale": 4, "network_G": opt_on})
-    assert g_on.s2d and serving_clone(g_on, opt_on).s2d
+    assert g_on.s2d and serving_clone(g_on, opt_on) is g_on
     opt_off = {"which_model_G": "DUF_16L", "s2d_conv": False}
     g_off = define_G({"scale": 4, "network_G": opt_off})
-    assert not g_off.s2d and not serving_clone(g_off, opt_off).s2d
-    # serving_clone is a no-op for non-DUF nets
+    assert not g_off.s2d and serving_clone(g_off, opt_off) is g_off
+    # serving_clone is a no-op for non-DUF nets too
     e = define_G({"scale": 4, "network_G": {"which_model_G": "EDVR"}})
     assert serving_clone(e, {"which_model_G": "EDVR"}) is e
     # odd spatial sizes fall back to the plain schedule (no crash)

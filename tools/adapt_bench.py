@@ -36,8 +36,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--duf-s2d", action="store_true",
                     help="DUF only: packed trunk instead of the deployed "
-                         "plain gradient-workload default (packed backward "
-                         "measured ~2.4x slower — networks.serving_clone)")
+                         "plain default (a measured negative: loses the "
+                         "per-call serving regime 0.83-0.90x and its "
+                         "backward is ~2.4x slower — networks.serving_clone)")
     ap.add_argument("--chunk-budget", type=int, default=0,
                     help="ops.dcn_fused frame-chunk budget in bytes")
     ap.add_argument("--dcn-impl", default=None,

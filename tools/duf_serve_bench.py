@@ -13,6 +13,7 @@ Run: python tools/duf_serve_bench.py [--reps 8] [--mode both|s2d|plain]
 from __future__ import annotations
 
 import argparse
+import os
 import os.path as osp
 import sys
 import time
@@ -39,7 +40,10 @@ def bench(s2d: bool, reps: int, batch: int, layers: int,
         # input; best-of-reps. Compares against the amortized fori_loop
         # regime below to bound the dispatch/loop-scheduling delta.
         f = jax.jit(lambda x: model.apply(params, x)[0, :4, 0, 0])
-        inputs = [jax.random.uniform(jax.random.PRNGKey(100 + i), x.shape)
+        # Session-unique seeds: the tunnel memoizes identical
+        # (executable, input) calls across processes (CLAUDE.md gotchas).
+        base = (os.getpid() * 1000003) ^ (int(time.time()) & 0xFFFFFF)
+        inputs = [jax.random.uniform(jax.random.PRNGKey(base + i), x.shape)
                   for i in range(reps + 1)]
         _ = np.asarray(f(inputs[0]))  # compile + warm
         times = []
