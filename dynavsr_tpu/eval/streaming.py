@@ -31,8 +31,15 @@ Throughput mode: MultiStreamSR serves B streams in LOCKSTEP (push takes
 a (B, H, W, 3) stack, one batched extract per arrival step, one batched
 fuse per emission) — amortizing the B=1 fuse that costs the single
 stream ~1.9x vs batched serving (results_r03/stream_bench_*). Streams
-may share params or carry per-stream (adapted) params stacked on a
-leading axis (fuse/extract vmapped over params and data).
+may share params, carry per-stream (adapted) params stacked on a
+leading axis, or — the middle of that frontier — be partitioned into
+`n_groups` GROUPS that each share one adapted param set (e.g. streams
+from the same camera): fully per-stream params measured ~2.1x the
+shared-params cost because the vmapped-params fuse duplicates weight
+traffic per stream (results_r04/stream_adapt_multi.log); grouping
+restores the amortization within each group while keeping distinct
+degradations separate across groups. With an adapter, each group adapts
+ONCE on the pooled first-K windows of all its streams.
 
 Typical use (optionally with test-time-adapted params):
 
@@ -92,13 +99,15 @@ class _StreamCore:
 
     Pyramids are buffered per arrival index with a leading (B,) axis; an
     emission stacks N buffered pyramids into the (B, N, ...) fuse input.
-    With `params_stacked=True`, params carry a leading (B,) axis and
-    extract/fuse are vmapped over (params, data) — the per-stream-adapted
-    serving mode."""
+    Param sharing is a GROUP count g: g=0 means one shared pytree (no
+    vmap); g>0 means params carry a leading (g,) axis and extract/fuse
+    vmap over groups with an inner model batch of B/g consecutive
+    streams — g=B is the fully per-stream mode, 0<g<B the grouped
+    middle that amortizes weight traffic within each group."""
 
     def __init__(self, model, params, n_streams: int, n_frames: int,
                  padding: str, adapter=None, adapt_windows: int = 0,
-                 params_stacked: bool = False):
+                 params_stacked: bool = False, n_groups: int | None = None):
         self.model = model
         self.b = int(n_streams)
         self.n = int(n_frames)
@@ -106,35 +115,58 @@ class _StreamCore:
         self.adapter = adapter
         self.k_adapt = int(adapt_windows)
         self._params0 = params
-        self._stacked0 = bool(params_stacked)
+        # Group count now (for the params passed in) and after warm-up
+        # (for the params the adapter produces).
+        self._g0 = (n_groups or self.b) if params_stacked else 0
+        self._g_adapt = (n_groups or self.b) if adapter is not None else 0
+        for g in {self._g0, self._g_adapt} - {0}:
+            if self.b % g:
+                raise ValueError(
+                    f"n_groups={g} must divide n_streams={self.b}")
         self.adapt_losses = None
+        self._fns: Dict[int, Any] = {}  # group count -> (extract, fuse)
+        self.reset()
 
-        def ex(p, f):  # f: (B, h, w, 3) -> pyramids each (B, ...)
+    def _apply_fns(self, g: int):
+        """(extract, fuse) jitted for group count g (built lazily — only
+        the group counts a stream actually serves with get traced)."""
+        if g in self._fns:
+            return self._fns[g]
+        model, b = self.model, self.b
+
+        def ex(p, f):  # f: (batch, h, w, 3) -> pyramids each (batch, ...)
             return model.apply(p, f, method="extract_pyramid")
 
-        def fu(p, l1, l2, l3, xc):  # (B, N, ...) -> (B, H, W, 3)
+        def fu(p, l1, l2, l3, xc):  # (batch, N, ...) -> (batch, H, W, 3)
             return model.apply(p, l1, l2, l3, xc, method="fuse_pyramid")
 
-        self._ex = {False: jax.jit(ex)}
-        self._fu = {False: jax.jit(fu)}
-        # vmapped-over-params variants (leading B axis on params AND data);
-        # inner calls run single-sample (the [None]/[0] wrap) so module
-        # batch semantics are unchanged.
-        self._ex[True] = jax.jit(jax.vmap(
-            lambda p, f: jax.tree_util.tree_map(
-                lambda a: a[0], model.apply(p, f[None],
-                                            method="extract_pyramid")),
-            in_axes=(0, 0)))
-        self._fu[True] = jax.jit(jax.vmap(
-            lambda p, l1, l2, l3, xc: model.apply(
-                p, l1[None], l2[None], l3[None], xc[None],
-                method="fuse_pyramid")[0],
-            in_axes=(0, 0, 0, 0, 0)))
-        self.reset()
+        if g == 0:
+            fns = (jax.jit(ex), jax.jit(fu))
+        else:
+            s = b // g  # streams per group (inner model batch)
+
+            def regroup(a):
+                return a.reshape((g, s) + a.shape[1:])
+
+            def flat(a):
+                return a.reshape((b,) + a.shape[2:])
+
+            def ex_g(p, f):  # p: (g,)-stacked pytree, f: (B, h, w, 3)
+                out = jax.vmap(ex)(p, regroup(f))
+                return jax.tree_util.tree_map(flat, out)
+
+            def fu_g(p, l1, l2, l3, xc):
+                out = jax.vmap(fu)(p, regroup(l1), regroup(l2),
+                                   regroup(l3), regroup(xc))
+                return flat(out)
+
+            fns = (jax.jit(ex_g), jax.jit(fu_g))
+        self._fns[g] = fns
+        return fns
 
     def reset(self) -> None:
         self.params = self._params0
-        self._stacked = self._stacked0
+        self._g = self._g0
         self._t = 0          # frames pushed so far
         self._next = 0       # next center index to emit
         self._buf: Dict[int, Any] = {}  # idx -> ((l1, l2, l3), frames)
@@ -153,7 +185,7 @@ class _StreamCore:
         l2 = jnp.stack([self._buf[j][0][1] for j in idx], axis=1)
         l3 = jnp.stack([self._buf[j][0][2] for j in idx], axis=1)
         xc = self._buf[idx[self.n // 2]][1]
-        return self._fu[self._stacked](self.params, l1, l2, l3, xc)
+        return self._apply_fns(self._g)[1](self.params, l1, l2, l3, xc)
 
     def _evict(self) -> None:
         # No padding strategy references an index more than 2*n below a
@@ -164,7 +196,7 @@ class _StreamCore:
             del self._buf[j]
 
     def _ingest(self, frames) -> None:
-        pyr = self._ex[self._stacked](self.params, frames)
+        pyr = self._apply_fns(self._g)[0](self.params, frames)
         self._buf[self._t] = (pyr, frames)
         self._t += 1
 
@@ -194,9 +226,20 @@ class _StreamCore:
             self.params, self.adapt_losses = self.adapter(
                 self.params, windows[0])
         else:
+            g = self._g_adapt
+            if g < self.b:
+                # Grouped adaptation: pool each group's streams' first-K
+                # windows into one (B/g * K)-window adaptation task. The
+                # reshape is group-major-contiguous (streams [i*B/g,
+                # (i+1)*B/g) pool in stream order), so group i's task is
+                # bit-identical to concatenating its streams' window
+                # stacks — tests/test_streaming.py pins equality against
+                # that explicit construction.
+                windows = windows.reshape(
+                    (g, self.b // g * windows.shape[1]) + windows.shape[2:])
             self.params, self.adapt_losses = self.adapter(
                 self.params, windows)
-            self._stacked = True
+            self._g = g
         self._adapted = True
         for f in self._raw:
             self._ingest(f)
@@ -274,19 +317,28 @@ class MultiStreamSR(_StreamCore):
     stream (results_r03/stream_bench_*: 74.7 ms/frame at B=1 vs ~40
     ms/window batched).
 
-    params: one shared pytree, or per-stream params stacked on a leading
-    (B,) axis with `params_stacked=True` (the adapt-then-serve mode; fuse
-    and extract are vmapped over params). With `adapter` built via
-    make_streaming_adapter(batched=True), each stream adapts on its OWN
-    first-K windows concurrently and serving continues per-stream-adapted
-    (params become stacked at warm-up)."""
+    params: one shared pytree, or params stacked on a leading group axis
+    with `params_stacked=True` — (B,) per-stream by default, or (G,) with
+    `n_groups=G` where consecutive blocks of B/G streams share a param
+    set. With `adapter` built via make_streaming_adapter(batched=True),
+    each group (default: each stream) adapts on the pooled first-K
+    windows of its streams concurrently and serving continues
+    group-adapted (params become stacked at warm-up).
+
+    Why groups: per-stream params measured ~2.1x the shared-params
+    serving cost (the vmapped fuse re-reads weights per stream —
+    results_r04/stream_adapt_multi.log). When streams cluster by
+    degradation (e.g. per-camera), `n_groups` buys back the weight-
+    traffic amortization within each cluster while still adapting
+    clusters independently."""
 
     def __init__(self, model, params, n_streams: int, n_frames: int = 5,
                  padding: str = "reflection", params_stacked: bool = False,
-                 adapter=None, adapt_windows: int = 0):
+                 adapter=None, adapt_windows: int = 0,
+                 n_groups: int | None = None):
         super().__init__(model, params, n_streams, n_frames, padding,
                          adapter=adapter, adapt_windows=adapt_windows,
-                         params_stacked=params_stacked)
+                         params_stacked=params_stacked, n_groups=n_groups)
 
     def push(self, frames) -> List[Tuple[int, Any]]:
         """Feed frame t of all B streams as one (B, H, W, 3) stack."""

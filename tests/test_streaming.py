@@ -238,3 +238,90 @@ def test_multi_stream_adaptation_per_stream():
         ref.extend(single.flush())
         sr_ref = np.stack([np.asarray(sr) for _, sr in ref])
         np.testing.assert_allclose(sr_multi[s], sr_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_multi_stream_grouped_adaptation():
+    """n_groups=G: consecutive blocks of B/G streams share ONE param set
+    adapted on the POOLED first-K windows of the block's streams. Pinned
+    against the explicit construction: concatenate the block's window
+    stacks, run the unbatched adapter once per group, serve every stream
+    of the block with the group's params."""
+    from dynavsr_tpu.adapt.adaptation import AdaptConfig
+    from dynavsr_tpu.data.windows import index_generation
+    from dynavsr_tpu.eval.streaming import MultiStreamSR, make_streaming_adapter
+
+    model, params, _ = _setup(hw=16)
+    b, g, t, hw, n, k = 4, 2, 6, 16, 3, 2
+    clips = jax.random.uniform(jax.random.PRNGKey(14), (b, t, hw, hw, 3))
+    est, ep = _estimator()
+    cfg = AdaptConfig(n_steps=2, lr=1e-4)
+
+    ms = MultiStreamSR(model, params, n_streams=b, n_frames=n,
+                       adapter=make_streaming_adapter(model, cfg, est.apply,
+                                                      ep, batched=True),
+                       adapt_windows=k, n_groups=g)
+    got = []
+    for i in range(t):
+        got.extend(ms.push(clips[:, i]))
+    got.extend(ms.flush())
+    assert [i for i, _ in got] == list(range(t))
+    assert jax.tree_util.tree_leaves(ms.adapt_losses)[0].shape[0] == g
+    sr_multi = np.stack([np.asarray(sr) for _, sr in got], axis=1)
+
+    adapter1 = make_streaming_adapter(model, cfg, est.apply, ep)
+    idx = [index_generation(j, 1 << 30, n, "reflection") for j in range(k)]
+    for gi in range(g):
+        streams = range(gi * (b // g), (gi + 1) * (b // g))
+        pooled = jnp.concatenate(
+            [jnp.stack([clips[s][np.array(ix)] for ix in idx])  # (K, N, h, w, 3)
+             for s in streams])
+        p_g, _ = adapter1(params, pooled)
+        for s in streams:
+            single = StreamingSR(model, p_g, n_frames=n)
+            ref = []
+            for f in clips[s]:
+                ref.extend(single.push(f))
+            ref.extend(single.flush())
+            sr_ref = np.stack([np.asarray(sr) for _, sr in ref])
+            np.testing.assert_allclose(sr_multi[s], sr_ref,
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_multi_stream_grouped_stacked_params():
+    """params_stacked + n_groups=G without an adapter: a (G,)-stacked
+    pytree serves blocks of B/G streams — each block must be served by
+    ITS group's net."""
+    from dynavsr_tpu.eval.streaming import MultiStreamSR
+
+    model, params, _ = _setup()
+    b, g, t, hw, n = 4, 2, 5, 8, 3
+    clips = jax.random.uniform(jax.random.PRNGKey(15), (b, t, hw, hw, 3))
+    p2 = model.init(jax.random.PRNGKey(98), clips[0, :3][None])
+    stacked = jax.tree_util.tree_map(
+        lambda a, c: jnp.stack([a, c]), params, p2)
+
+    ms = MultiStreamSR(model, stacked, n_streams=b, n_frames=n,
+                       params_stacked=True, n_groups=g)
+    got = []
+    for i in range(t):
+        got.extend(ms.push(clips[:, i]))
+    got.extend(ms.flush())
+    sr_multi = np.stack([np.asarray(sr) for _, sr in got], axis=1)
+
+    for s, p in zip(range(b), [params, params, p2, p2]):
+        single = StreamingSR(model, p, n_frames=n)
+        ref = []
+        for f in clips[s]:
+            ref.extend(single.push(f))
+        ref.extend(single.flush())
+        sr_ref = np.stack([np.asarray(sr) for _, sr in ref])
+        np.testing.assert_allclose(sr_multi[s], sr_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_multi_stream_groups_must_divide():
+    from dynavsr_tpu.eval.streaming import MultiStreamSR
+
+    model, params, _ = _setup()
+    with pytest.raises(ValueError, match="divide"):
+        MultiStreamSR(model, params, n_streams=4, n_frames=3,
+                      params_stacked=True, n_groups=3)

@@ -17,6 +17,13 @@ Modes beyond the plain single stream:
                 per arrival step, one batched fuse per emission — the
                 multi-stream throughput mode; reports ms/frame/stream.
                 Composes with --adapt (per-stream batched adaptation).
+  --param-groups G
+                with --streams B --adapt: adapt/serve G param GROUPS of
+                B/G streams each (streams in a group share one adapted
+                param set — the per-camera deployment mode). Default:
+                one group per stream (the fully per-stream mode, which
+                pays ~2.1x over shared params in weight traffic —
+                results_r04/stream_adapt_multi.log).
 
 Reports, for EDVR-M at Vid4-like LR shapes (144x176, x4):
   - steady-state ms/frame (timed clip pass / frames emitted; per stream
@@ -64,6 +71,10 @@ def main():
     ap.add_argument("--adapt-steps", type=int, default=5)
     ap.add_argument("--streams", type=int, default=1,
                     help="lockstep streams (MultiStreamSR batching)")
+    ap.add_argument("--param-groups", type=int, default=0,
+                    help="adapted param groups (0 = one per stream); "
+                         "streams split into --streams/G blocks sharing "
+                         "one adapted param set each")
     ap.add_argument("--quick", action="store_true",
                     help="tiny config CPU/smoke mode")
     args = ap.parse_args()
@@ -111,7 +122,8 @@ def main():
     if b > 1:
         stream = MultiStreamSR(model, params, n_streams=b,
                                n_frames=n_frames, adapter=adapter,
-                               adapt_windows=k_adapt)
+                               adapt_windows=k_adapt,
+                               n_groups=args.param_groups or None)
     else:
         stream = StreamingSR(model, params, n_frames=n_frames,
                              adapter=adapter, adapt_windows=k_adapt)
@@ -155,7 +167,8 @@ def main():
                 else min(best_ms_frame, ms_frame)
 
     if best_ms_frame is not None:
-        print(f"streaming groups={args.groups} streams={b} "
+        pg = f" param_groups={args.param_groups}" if args.param_groups else ""
+        print(f"streaming groups={args.groups} streams={b}{pg} "
               f"adapt={args.adapt} shape=({t},{h},{w},3): "
               f"{best_ms_frame:.1f} ms/frame/stream = "
               f"{1e3 / best_ms_frame:.2f} fps/stream", flush=True)
