@@ -103,7 +103,13 @@ class _StreamCore:
     vmap); g>0 means params carry a leading (g,) axis and extract/fuse
     vmap over groups with an inner model batch of B/g consecutive
     streams — g=B is the fully per-stream mode, 0<g<B the grouped
-    middle that amortizes weight traffic within each group."""
+    middle that amortizes weight traffic within each group.
+
+    g == 1 is NORMALIZED to the plain g=0 path (params squeezed): a
+    size-1 vmapped-params axis is semantically the shared-params case
+    but measured 72.4 vs ~51 ms/frame/stream at B=4 — vmapping over
+    conv WEIGHTS lowers to a grouped/looped conv even for a size-1
+    axis (results_r04/stream_groups_g1.log vs stream_adapt_multi.log)."""
 
     def __init__(self, model, params, n_streams: int, n_frames: int,
                  padding: str, adapter=None, adapt_windows: int = 0,
@@ -123,6 +129,10 @@ class _StreamCore:
             if self.b % g:
                 raise ValueError(
                     f"n_groups={g} must divide n_streams={self.b}")
+        if self._g0 == 1:  # one group == shared params: take the fast path
+            self._params0 = jax.tree_util.tree_map(
+                lambda a: a[0], self._params0)
+            self._g0 = 0
         self.adapt_losses = None
         self._fns: Dict[int, Any] = {}  # group count -> (extract, fuse)
         self.reset()
@@ -239,6 +249,10 @@ class _StreamCore:
                     (g, self.b // g * windows.shape[1]) + windows.shape[2:])
             self.params, self.adapt_losses = self.adapter(
                 self.params, windows)
+            if g == 1:  # squeeze the size-1 group axis: plain-path serving
+                self.params = jax.tree_util.tree_map(
+                    lambda a: a[0], self.params)
+                g = 0
             self._g = g
         self._adapted = True
         for f in self._raw:

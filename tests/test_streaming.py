@@ -318,6 +318,55 @@ def test_multi_stream_grouped_stacked_params():
         np.testing.assert_allclose(sr_multi[s], sr_ref, rtol=2e-5, atol=2e-5)
 
 
+def test_multi_stream_single_group_takes_plain_path():
+    """n_groups=1 (with or without adapter) is normalized to the g=0
+    no-vmap serving path — a size-1 vmapped-params axis lowers convs to
+    grouped/looped form and measured 72.4 vs ~51 ms/frame/stream
+    (results_r04/stream_groups_g1.log). Output must equal serving every
+    stream with the squeezed pytree on the plain path."""
+    from dynavsr_tpu.adapt.adaptation import AdaptConfig
+    from dynavsr_tpu.eval.streaming import MultiStreamSR, make_streaming_adapter
+
+    model, params, _ = _setup(hw=16)
+    b, t, hw, n, k = 2, 5, 16, 3, 2
+    clips = jax.random.uniform(jax.random.PRNGKey(16), (b, t, hw, hw, 3))
+
+    # Stacked (1,)-params without an adapter: squeezed at construction.
+    stacked = jax.tree_util.tree_map(lambda a: a[None], params)
+    ms = MultiStreamSR(model, stacked, n_streams=b, n_frames=n,
+                       params_stacked=True, n_groups=1)
+    assert ms._g == 0
+    got = []
+    for i in range(t):
+        got.extend(ms.push(clips[:, i]))
+    got.extend(ms.flush())
+    sr_multi = np.stack([np.asarray(sr) for _, sr in got], axis=1)
+
+    shared = MultiStreamSR(model, params, n_streams=b, n_frames=n)
+    ref = []
+    for i in range(t):
+        ref.extend(shared.push(clips[:, i]))
+    ref.extend(shared.flush())
+    sr_ref = np.stack([np.asarray(sr) for _, sr in ref], axis=1)
+    np.testing.assert_array_equal(sr_multi, sr_ref)
+
+    # With an adapter: post-warm-up params squeeze back to the plain path.
+    est, ep = _estimator()
+    cfg = AdaptConfig(n_steps=1, lr=1e-4)
+    ms_a = MultiStreamSR(model, params, n_streams=b, n_frames=n,
+                         adapter=make_streaming_adapter(model, cfg, est.apply,
+                                                        ep, batched=True),
+                         adapt_windows=k, n_groups=1)
+    for i in range(t):
+        ms_a.push(clips[:, i])
+    ms_a.flush()
+    assert ms_a._g == 0
+    assert not any(
+        a.ndim and a.shape[0] == 1 and a.shape != p.shape
+        for a, p in zip(jax.tree_util.tree_leaves(ms_a.params),
+                        jax.tree_util.tree_leaves(params)))
+
+
 def test_multi_stream_groups_must_divide():
     from dynavsr_tpu.eval.streaming import MultiStreamSR
 

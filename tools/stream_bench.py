@@ -157,9 +157,16 @@ def main():
         ms_frame = total / (emitted * b) * 1e3
         med_push = float(np.median(push_lat)) * 1e3 if push_lat else float("nan")
         tag = "compile" if p == 0 else "timed"
+        # With --adapt the per-frame figure AMORTIZES the one-time warm-up
+        # adaptation over this t-frame clip (it shrinks as clips lengthen);
+        # true steady-state is the median emitting-push latency, which
+        # measured IDENTICAL adapt vs no-adapt (~200 ms at B=4 — same
+        # serving executables: results_r04/stream_groups_g1_squeezed.log
+        # vs stream_shared_noadapt_rerun.log).
+        kind = "clip-amortized" if args.adapt else "steady-state"
         warm_txt = f", warm-up push {warm_lat*1e3:.1f} ms" if args.adapt else ""
         print(f"# pass {p} ({tag}): {ms_frame:.1f} ms/frame/stream "
-              f"steady-state, median emitting-push latency {med_push:.1f} ms"
+              f"{kind}, median emitting-push latency {med_push:.1f} ms"
               f"{warm_txt} ({emitted} frames x {b} streams, {total:.3f} s)",
               flush=True)
         if p > 0:
