@@ -34,12 +34,14 @@ stream ~1.9x vs batched serving (results_r03/stream_bench_*). Streams
 may share params, carry per-stream (adapted) params stacked on a
 leading axis, or — the middle of that frontier — be partitioned into
 `n_groups` GROUPS that each share one adapted param set (e.g. streams
-from the same camera): fully per-stream params measured ~2.1x the
-shared-params cost because the vmapped-params fuse duplicates weight
-traffic per stream (results_r04/stream_adapt_multi.log); grouping
-restores the amortization within each group while keeping distinct
-degradations separate across groups. With an adapter, each group adapts
-ONCE on the pooled first-K windows of all its streams.
+from the same camera). Grouped/per-stream serving runs one PLAIN
+dispatch per group rather than vmapping model.apply over params: the
+vmap lowers convs to grouped/looped form (measured 108.3 ms/frame/
+stream fully per-stream at B=4, and halving the distinct param sets
+recovered only ~8% — results_r04/stream_adapt_multi.log,
+stream_groups_g2.log), while per-group dense dispatches reuse the one
+plain executable. With an adapter, each group adapts ONCE on the
+pooled first-K windows of all its streams.
 
 Typical use (optionally with test-time-adapted params):
 
@@ -99,17 +101,22 @@ class _StreamCore:
 
     Pyramids are buffered per arrival index with a leading (B,) axis; an
     emission stacks N buffered pyramids into the (B, N, ...) fuse input.
-    Param sharing is a GROUP count g: g=0 means one shared pytree (no
-    vmap); g>0 means params carry a leading (g,) axis and extract/fuse
-    vmap over groups with an inner model batch of B/g consecutive
-    streams — g=B is the fully per-stream mode, 0<g<B the grouped
-    middle that amortizes weight traffic within each group.
+    Param sharing is a GROUP count g: g=0 means one shared pytree and
+    one full-batch dispatch per extract/fuse; g>0 means params carry a
+    leading (g,) axis and each extract/fuse runs g SEQUENTIAL dispatches
+    of the SAME plain jitted executable, one per group at inner batch
+    B/g (consecutive streams) — g=B is the fully per-stream mode, 0<g<B
+    the grouped middle.
 
-    g == 1 is NORMALIZED to the plain g=0 path (params squeezed): a
-    size-1 vmapped-params axis is semantically the shared-params case
-    but measured 72.4 vs ~51 ms/frame/stream at B=4 — vmapping over
-    conv WEIGHTS lowers to a grouped/looped conv even for a size-1
-    axis (results_r04/stream_groups_g1.log vs stream_adapt_multi.log)."""
+    Why sequential-per-group and not vmap: vmapping model.apply over
+    PARAMS lowers every conv to a grouped/looped conv (weights gain a
+    batch axis), which measured 108.3 ms/frame/stream fully per-stream
+    at B=4 and recovered only ~8% when halving the distinct param sets
+    (results_r04/stream_adapt_multi.log, stream_groups_g2.log) — the
+    lowering, not weight traffic, dominates. Per-group dense dispatches
+    keep every conv in its plain-form executable and pay only g-1 extra
+    dispatch latencies (~10-25 ms each on the tunnel). g == 1 is still
+    NORMALIZED to g=0 (params squeezed, zero slicing)."""
 
     def __init__(self, model, params, n_streams: int, n_frames: int,
                  padding: str, adapter=None, adapt_windows: int = 0,
@@ -134,15 +141,6 @@ class _StreamCore:
                 lambda a: a[0], self._params0)
             self._g0 = 0
         self.adapt_losses = None
-        self._fns: Dict[int, Any] = {}  # group count -> (extract, fuse)
-        self.reset()
-
-    def _apply_fns(self, g: int):
-        """(extract, fuse) jitted for group count g (built lazily — only
-        the group counts a stream actually serves with get traced)."""
-        if g in self._fns:
-            return self._fns[g]
-        model, b = self.model, self.b
 
         def ex(p, f):  # f: (batch, h, w, 3) -> pyramids each (batch, ...)
             return model.apply(p, f, method="extract_pyramid")
@@ -150,33 +148,46 @@ class _StreamCore:
         def fu(p, l1, l2, l3, xc):  # (batch, N, ...) -> (batch, H, W, 3)
             return model.apply(p, l1, l2, l3, xc, method="fuse_pyramid")
 
-        if g == 0:
-            fns = (jax.jit(ex), jax.jit(fu))
-        else:
-            s = b // g  # streams per group (inner model batch)
+        # Shape-polymorphic via jit retrace: batch B when g=0, B/g when
+        # grouped — every group shares the ONE per-shape executable.
+        self._ex = jax.jit(ex)
+        self._fu = jax.jit(fu)
+        self.reset()
 
-            def regroup(a):
-                return a.reshape((g, s) + a.shape[1:])
+    def _group_params(self) -> List[Any]:
+        """self.params split into g per-group pytrees. Cached on params
+        identity + group count — recomputed only at reset/warm-up, so
+        steady-state pushes never re-slice."""
+        key = (id(self.params), self._g)
+        if self._plist_key != key:
+            self._plist = [
+                jax.tree_util.tree_map(lambda a, i=i: a[i], self.params)
+                for i in range(self._g)]
+            self._plist_key = key
+        return self._plist
 
-            def flat(a):
-                return a.reshape((b,) + a.shape[2:])
+    def _extract(self, frames):
+        if self._g == 0:
+            return self._ex(self.params, frames)
+        s = self.b // self._g
+        outs = [self._ex(p, frames[i * s:(i + 1) * s])
+                for i, p in enumerate(self._group_params())]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *outs)
 
-            def ex_g(p, f):  # p: (g,)-stacked pytree, f: (B, h, w, 3)
-                out = jax.vmap(ex)(p, regroup(f))
-                return jax.tree_util.tree_map(flat, out)
-
-            def fu_g(p, l1, l2, l3, xc):
-                out = jax.vmap(fu)(p, regroup(l1), regroup(l2),
-                                   regroup(l3), regroup(xc))
-                return flat(out)
-
-            fns = (jax.jit(ex_g), jax.jit(fu_g))
-        self._fns[g] = fns
-        return fns
+    def _fuse(self, l1, l2, l3, xc):
+        if self._g == 0:
+            return self._fu(self.params, l1, l2, l3, xc)
+        s = self.b // self._g
+        outs = [self._fu(p, l1[i * s:(i + 1) * s], l2[i * s:(i + 1) * s],
+                         l3[i * s:(i + 1) * s], xc[i * s:(i + 1) * s])
+                for i, p in enumerate(self._group_params())]
+        return jnp.concatenate(outs)
 
     def reset(self) -> None:
         self.params = self._params0
         self._g = self._g0
+        self._plist, self._plist_key = None, None
         self._t = 0          # frames pushed so far
         self._next = 0       # next center index to emit
         self._buf: Dict[int, Any] = {}  # idx -> ((l1, l2, l3), frames)
@@ -195,7 +206,7 @@ class _StreamCore:
         l2 = jnp.stack([self._buf[j][0][1] for j in idx], axis=1)
         l3 = jnp.stack([self._buf[j][0][2] for j in idx], axis=1)
         xc = self._buf[idx[self.n // 2]][1]
-        return self._apply_fns(self._g)[1](self.params, l1, l2, l3, xc)
+        return self._fuse(l1, l2, l3, xc)
 
     def _evict(self) -> None:
         # No padding strategy references an index more than 2*n below a
@@ -206,7 +217,7 @@ class _StreamCore:
             del self._buf[j]
 
     def _ingest(self, frames) -> None:
-        pyr = self._apply_fns(self._g)[0](self.params, frames)
+        pyr = self._extract(frames)
         self._buf[self._t] = (pyr, frames)
         self._t += 1
 
@@ -339,12 +350,13 @@ class MultiStreamSR(_StreamCore):
     windows of its streams concurrently and serving continues
     group-adapted (params become stacked at warm-up).
 
-    Why groups: per-stream params measured ~2.1x the shared-params
-    serving cost (the vmapped fuse re-reads weights per stream —
-    results_r04/stream_adapt_multi.log). When streams cluster by
-    degradation (e.g. per-camera), `n_groups` buys back the weight-
-    traffic amortization within each cluster while still adapting
-    clusters independently."""
+    Why groups: distinct per-stream params cost real throughput (the
+    round-4a vmapped design measured ~2.1x shared params; the current
+    per-group-dispatch design still pays batch fragmentation + g-1
+    dispatch latencies per step). When streams cluster by degradation
+    (e.g. per-camera), `n_groups` serves each cluster at its full inner
+    batch while still adapting clusters independently — and G=1 is
+    exactly the shared fast path."""
 
     def __init__(self, model, params, n_streams: int, n_frames: int = 5,
                  padding: str = "reflection", params_stacked: bool = False,
