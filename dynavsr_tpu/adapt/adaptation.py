@@ -46,6 +46,7 @@ __all__ = [
     "chunked_apply",
     "make_adapt_and_infer",
     "make_adapt_and_infer_batched",
+    "make_adapt_and_infer_vmapped",
     "make_adapt_and_infer_seq",
     "make_adapt_and_infer_seq_batched",
     "make_adapt_fn",
@@ -277,18 +278,75 @@ def make_seq_infer(vsr_model, infer_chunk: int = 0, jit: bool = True):
     return jax.jit(run) if jit else run
 
 
+def _clip_parallel(single, n_args, mesh):
+    """Shared builder for the clip-parallel variants: run `single` (the
+    whole per-clip adapt+infer) over a leading clips axis with DENSE conv
+    weights, sharded over the ('data',) mesh.
+
+    Design note (measured): the obvious composition — jax.vmap(single)
+    over clips — batches the conv WEIGHTS (params are per-clip after the
+    first adaptation step), which XLA lowers to grouped/looped convs.
+    That lowering measured 1.93x slower than per-clip dense execution on
+    one chip (23.43 -> 12.15 fps, EDVR Gd=2 C=2 —
+    results_r04/clip_parallel_probe_g2.log), the same pathology measured
+    at ~1.5x in multi-stream serving (results_r04/stream_groups_*.log).
+    So clips are executed by lax.map (a sequential scan whose body runs
+    ONE param set -> dense convs) and cross-chip parallelism comes from
+    shard_map placing C/D clips per chip — identical parallel speedup to
+    the vmapped design, none of the per-chip lowering tax. The vmapped
+    composition is kept as make_adapt_and_infer_vmapped for the A/B
+    record and as an equality oracle (tests/test_train.py).
+    """
+
+    def run_local(params, *clip_args):
+        return jax.lax.map(lambda t: single(params, *t), clip_args)
+
+    if mesh is None:
+        return jax.jit(run_local)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fn = jax.shard_map(
+        run_local, mesh=mesh,
+        in_specs=(P(),) + (P("data"),) * n_args,
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        fn,
+        in_shardings=(repl,) + (data,) * n_args,
+        out_shardings=(data, data),
+    )
+
+
 def make_adapt_and_infer_batched(vsr_model, cfg: AdaptConfig, mesh=None,
                                  apply_fn=None, mutable_apply_fn=None):
-    """Clip-parallel adaptation (SURVEY.md §2.6): vmap the whole per-clip
+    """Clip-parallel adaptation (SURVEY.md §2.6): run the whole per-clip
     adapt+infer over a leading clips axis and shard clips over the
     ('data',) mesh — each chip adapts ITS OWN clips concurrently, replacing
-    the reference's serial one-clip-per-GPU Python loop.
+    the reference's serial one-clip-per-GPU Python loop. Per-chip clips
+    execute sequentially with dense convs (see _clip_parallel for the
+    measured rationale vs the vmapped design).
 
     Inputs (clips padded to common sizes; pad frames cost compute only):
       params (replicated), slr_windows (C, K, N, h/s, w/s, 3),
       lr_centers (C, K, h, w, 3), lr_windows (C, F, N, h, w, 3)
     Returns sr (C, F, H, W, 3), losses (C, n_steps).
     """
+    single = make_adapt_and_infer(vsr_model, cfg, jit=False, apply_fn=apply_fn,
+                                  mutable_apply_fn=mutable_apply_fn)
+    return _clip_parallel(single, 3, mesh)
+
+
+def make_adapt_and_infer_vmapped(vsr_model, cfg: AdaptConfig, mesh=None,
+                                 apply_fn=None, mutable_apply_fn=None):
+    """The superseded vmapped composition of the clip-parallel path — kept
+    as the A/B record of a measured negative (vmapping model.apply over
+    per-clip params lowers every conv to grouped/looped form: 1.93x slower
+    than _clip_parallel's dense execution on one chip,
+    results_r04/clip_parallel_probe_g2.log) and as an equality oracle for
+    the shipped design. Same contract as make_adapt_and_infer_batched."""
     single = make_adapt_and_infer(vsr_model, cfg, jit=False, apply_fn=apply_fn,
                                   mutable_apply_fn=mutable_apply_fn)
     fn = jax.vmap(single, in_axes=(None, 0, 0, 0))
@@ -312,7 +370,8 @@ def make_adapt_and_infer_seq_batched(vsr_model, cfg: AdaptConfig, mesh=None,
     concurrently AND serves them with shared per-frame pyramids
     (EDVR.forward_seq; exact). This is the fastest multi-chip serving
     path: clip-parallelism removes the reference's serial per-clip loop,
-    seq mode removes the ~N=5x per-frame feature recomputation.
+    seq mode removes the ~N=5x per-frame feature recomputation. Per-chip
+    clips execute sequentially with dense convs (_clip_parallel).
 
     Inputs (clips padded to common shapes via batch_clips_seq):
       params (replicated), slr_windows (C, K, N, h/s, w/s, 3),
@@ -323,18 +382,7 @@ def make_adapt_and_infer_seq_batched(vsr_model, cfg: AdaptConfig, mesh=None,
     single = make_adapt_and_infer_seq(vsr_model, cfg, jit=False,
                                       apply_fn=apply_fn,
                                       mutable_apply_fn=mutable_apply_fn)
-    fn = jax.vmap(single, in_axes=(None, 0, 0, 0, 0))
-    if mesh is None:
-        return jax.jit(fn)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        fn,
-        in_shardings=(repl, data, data, data, data),
-        out_shardings=(data, data),
-    )
+    return _clip_parallel(single, 4, mesh)
 
 
 def batch_clips_seq(clips, n_frames: int, padding: str, n_adapt: int,
