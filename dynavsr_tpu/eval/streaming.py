@@ -79,8 +79,12 @@ def make_streaming_adapter(vsr_model, cfg, est_apply, est_params,
     scan (adapt/adaptation.make_adapt_fn), all ONE jitted call.
 
     windows: (K, N, h, w, 3) — or (B, K, N, h, w, 3) with batched=True
-    (per-stream adaptation for MultiStreamSR; params vmapped out with a
-    leading B axis)."""
+    (per-stream/per-group adaptation for MultiStreamSR; params come out
+    stacked with a leading B axis). The batched variant runs the B
+    adaptations via lax.map, NOT vmap: vmapping the adapt scan batches
+    the conv WEIGHTS after step 1, lowering every conv (and its VJP) to
+    grouped form — measured 1.93x slower on the offline analog
+    (results_r04/clip_parallel_probe_g2.log)."""
     from dynavsr_tpu.adapt.adaptation import make_adapt_fn
 
     adapt = make_adapt_fn(vsr_model, cfg, jit=False, apply_fn=apply_fn,
@@ -92,7 +96,10 @@ def make_streaming_adapter(vsr_model, cfg, est_apply, est_params,
         return adapt(params, slr, windows[:, n // 2])
 
     if batched:
-        return jax.jit(jax.vmap(one, in_axes=(None, 0)))
+        def many(params, windows):
+            return jax.lax.map(lambda w: one(params, w), windows)
+
+        return jax.jit(many)
     return jax.jit(one)
 
 
@@ -103,20 +110,23 @@ class _StreamCore:
     emission stacks N buffered pyramids into the (B, N, ...) fuse input.
     Param sharing is a GROUP count g: g=0 means one shared pytree and
     one full-batch dispatch per extract/fuse; g>0 means params carry a
-    leading (g,) axis and each extract/fuse runs g SEQUENTIAL dispatches
-    of the SAME plain jitted executable, one per group at inner batch
-    B/g (consecutive streams) — g=B is the fully per-stream mode, 0<g<B
-    the grouped middle.
+    leading (g,) axis and each extract/fuse is ONE dispatch of a grouped
+    executable that lax.map's the plain batch-B/g body over the g groups
+    (consecutive streams) — g=B is the fully per-stream mode, 0<g<B the
+    grouped middle.
 
-    Why sequential-per-group and not vmap: vmapping model.apply over
-    PARAMS lowers every conv to a grouped/looped conv (weights gain a
-    batch axis), which measured 108.3 ms/frame/stream fully per-stream
-    at B=4 and recovered only ~8% when halving the distinct param sets
+    Why lax.map and not vmap: vmapping model.apply over PARAMS lowers
+    every conv to a grouped/looped conv (weights gain a batch axis),
+    which measured 108.3 ms/frame/stream fully per-stream at B=4 and
+    recovered only ~8% when halving the distinct param sets
     (results_r04/stream_adapt_multi.log, stream_groups_g2.log) — the
-    lowering, not weight traffic, dominates. Per-group dense dispatches
-    keep every conv in its plain-form executable and pay only g-1 extra
-    dispatch latencies (~10-25 ms each on the tunnel). g == 1 is still
-    NORMALIZED to g=0 (params squeezed, zero slicing)."""
+    lowering, not weight traffic, dominates. lax.map's body runs ONE
+    param set per iteration, so every conv stays dense. (Design
+    history: round 4c shipped g SEQUENTIAL host dispatches of the plain
+    executable — same dense-conv insight, but paying g-1 dispatch
+    latencies of ~10-25 ms plus per-leaf concatenates per step; the
+    in-graph lax.map supersedes it.) g == 1 is still NORMALIZED to g=0
+    (params squeezed, zero slicing)."""
 
     def __init__(self, model, params, n_streams: int, n_frames: int,
                  padding: str, adapter=None, adapt_windows: int = 0,
@@ -148,46 +158,42 @@ class _StreamCore:
         def fu(p, l1, l2, l3, xc):  # (batch, N, ...) -> (batch, H, W, 3)
             return model.apply(p, l1, l2, l3, xc, method="fuse_pyramid")
 
-        # Shape-polymorphic via jit retrace: batch B when g=0, B/g when
-        # grouped — every group shares the ONE per-shape executable.
-        self._ex = jax.jit(ex)
-        self._fu = jax.jit(fu)
-        self.reset()
+        def _regroup(a, g):  # (B, ...) -> (g, B/g, ...), consecutive blocks
+            return a.reshape((g, a.shape[0] // g) + a.shape[1:])
 
-    def _group_params(self) -> List[Any]:
-        """self.params split into g per-group pytrees. Cached on params
-        identity + group count — recomputed only at reset/warm-up, so
-        steady-state pushes never re-slice."""
-        key = (id(self.params), self._g)
-        if self._plist_key != key:
-            self._plist = [
-                jax.tree_util.tree_map(lambda a, i=i: a[i], self.params)
-                for i in range(self._g)]
-            self._plist_key = key
-        return self._plist
+        def ex_g(p, f):  # p leaves (g, ...); f (B, h, w, 3)
+            g = jax.tree_util.tree_leaves(p)[0].shape[0]
+            outs = jax.lax.map(lambda t: ex(t[0], t[1]), (p, _regroup(f, g)))
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), outs)
+
+        def fu_g(p, l1, l2, l3, xc):
+            g = jax.tree_util.tree_leaves(p)[0].shape[0]
+            sr = jax.lax.map(
+                lambda t: fu(*t),
+                (p, _regroup(l1, g), _regroup(l2, g), _regroup(l3, g),
+                 _regroup(xc, g)))
+            return sr.reshape((-1,) + sr.shape[2:])
+
+        # Shape-polymorphic via jit retrace: one plain executable when
+        # g=0, one grouped (lax.map) executable per (g, B/g) otherwise.
+        self._ex, self._fu = jax.jit(ex), jax.jit(fu)
+        self._ex_g, self._fu_g = jax.jit(ex_g), jax.jit(fu_g)
+        self.reset()
 
     def _extract(self, frames):
         if self._g == 0:
             return self._ex(self.params, frames)
-        s = self.b // self._g
-        outs = [self._ex(p, frames[i * s:(i + 1) * s])
-                for i, p in enumerate(self._group_params())]
-        return jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs), *outs)
+        return self._ex_g(self.params, frames)
 
     def _fuse(self, l1, l2, l3, xc):
         if self._g == 0:
             return self._fu(self.params, l1, l2, l3, xc)
-        s = self.b // self._g
-        outs = [self._fu(p, l1[i * s:(i + 1) * s], l2[i * s:(i + 1) * s],
-                         l3[i * s:(i + 1) * s], xc[i * s:(i + 1) * s])
-                for i, p in enumerate(self._group_params())]
-        return jnp.concatenate(outs)
+        return self._fu_g(self.params, l1, l2, l3, xc)
 
     def reset(self) -> None:
         self.params = self._params0
         self._g = self._g0
-        self._plist, self._plist_key = None, None
         self._t = 0          # frames pushed so far
         self._next = 0       # next center index to emit
         self._buf: Dict[int, Any] = {}  # idx -> ((l1, l2, l3), frames)
@@ -352,8 +358,8 @@ class MultiStreamSR(_StreamCore):
 
     Why groups: distinct per-stream params cost real throughput (the
     round-4a vmapped design measured ~2.1x shared params; the current
-    per-group-dispatch design still pays batch fragmentation + g-1
-    dispatch latencies per step). When streams cluster by degradation
+    in-graph lax.map design still pays batch fragmentation — the fuse
+    runs at inner batch B/g). When streams cluster by degradation
     (e.g. per-camera), `n_groups` serves each cluster at its full inner
     batch while still adapting clusters independently — and G=1 is
     exactly the shared fast path."""
