@@ -21,9 +21,9 @@ Modes beyond the plain single stream:
                 with --streams B --adapt: adapt/serve G param GROUPS of
                 B/G streams each (streams in a group share one adapted
                 param set — the per-camera deployment mode). Default:
-                one group per stream (the fully per-stream mode, which
-                pays ~2.1x over shared params in weight traffic —
-                results_r04/stream_adapt_multi.log).
+                one group per stream (the fully per-stream mode).
+                Grouped serving runs one lax.map dispatch per step
+                (dense convs per group — eval/streaming.py design note).
 
 Reports, for EDVR-M at Vid4-like LR shapes (144x176, x4):
   - steady-state ms/frame (timed clip pass / frames emitted; per stream
