@@ -403,6 +403,7 @@ def batch_clips_seq(clips, n_frames: int, padding: str, n_adapt: int,
 
     from dynavsr_tpu.data.windows import all_windows
 
+    _check_uniform_hw([c.shape[1:3] for c in clips], "batch_clips_seq")
     tmax = -(-max(c.shape[0] for c in clips) // 8) * 8
     frames, wins, aw, lc, lens = [], [], [], [], []
     for c in clips:
@@ -430,9 +431,22 @@ def batch_clips_seq(clips, n_frames: int, padding: str, n_adapt: int,
             np.stack(aw), np.stack(lc), lens)
 
 
+def _check_uniform_hw(shapes, fn_name: str) -> None:
+    """Clip batching pads T/F only — mixed (h, w) inputs must be bucketed
+    by resolution by the caller (cli/test_dynavsr.py does; real test sets
+    mix resolutions, e.g. Vid4's 144x176 and 120x180 clips). Fail with
+    the fix spelled out instead of np.stack's shape error."""
+    if len(set(map(tuple, shapes))) > 1:
+        raise ValueError(
+            f"{fn_name} requires uniform (h, w) across clips, got "
+            f"{sorted(set(map(tuple, shapes)))} — bucket clips by "
+            "resolution and batch each bucket separately")
+
+
 def batch_clips(clip_windows, n_adapt: int, center: int):
     """Pad per-clip window stacks to a common frame count for the batched
-    adapt path. clip_windows: list of (F_i, N, h, w, 3) arrays.
+    adapt path. clip_windows: list of (F_i, N, h, w, 3) arrays (uniform
+    h, w — bucket mixed-resolution clip sets by (h, w) first).
 
     Returns (lr_windows (C, Fmax, ...), slr_sources (C, K, ...) adaptation
     windows, lr_centers (C, K, h, w, 3), lengths) — padding repeats the
@@ -440,6 +454,7 @@ def batch_clips(clip_windows, n_adapt: int, center: int):
     """
     import numpy as np
 
+    _check_uniform_hw([w.shape[2:4] for w in clip_windows], "batch_clips")
     fmax = max(w.shape[0] for w in clip_windows)
     lw, aw, lc, lens = [], [], [], []
     for w in clip_windows:

@@ -156,67 +156,80 @@ def main(argv=None):
             )
             from dynavsr_tpu.parallel.mesh import data_mesh
 
-            clips = test_set.names
-            # Pad the clip batch to a multiple of the mesh size so ALL chips
-            # stay engaged (e.g. Vid4's 4 clips on an 8-chip mesh); padded
-            # clips repeat the last one and are never scored.
             n_dev = int(opt.get("n_devices") or 0)
             mesh_devs = jax.devices()[: n_dev] if n_dev else jax.devices()
             mesh = data_mesh(mesh_devs)
-            pad_n = (-len(clips)) % len(mesh_devs)
+            # Bucket clips by LR resolution: real test sets mix (h, w)
+            # (Vid4 ships 144x176 AND 120x180 clips) and the batched path
+            # stacks clips into one array. Each bucket runs the batched
+            # adapt+infer independently (jit compiles per shape anyway, so
+            # buckets share no executable regardless).
+            raw_by_clip = {c: test_set.clip_frames(c) for c in test_set.names}
+            buckets: dict = {}
+            for c in test_set.names:
+                buckets.setdefault(raw_by_clip[c].shape[1:3], []).append(c)
             if use_seq:
-                # Batched SEQ serving: per-clip frames + window-index tables
-                # instead of materialized windows; pyramids extracted once
-                # per clip frame on each chip (make_adapt_and_infer_seq_batched).
                 from dynavsr_tpu.adapt.adaptation import (
                     batch_clips_seq,
                     make_adapt_and_infer_seq_batched,
                 )
 
-                raw = [test_set.clip_frames(c) for c in clips]
-                raw = raw + [raw[-1]] * pad_n
-                frames_b, win_b, adapt_w, lr_c, lens = batch_clips_seq(
-                    raw, n_frames, padding, n_adapt_cfg, n_frames // 2)
-                h, w = frames_b.shape[2], frames_b.shape[3]
-                ph, pw = (-h) % 4, (-w) % 4
-                if ph or pw:
-                    # Frame-level mod-4 pad == per-window mod-padding (the
-                    # window path's apply_fn does the same reflect pad).
-                    frames_b = np.pad(
-                        frames_b,
-                        [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
-                        mode="reflect")
-                slr_w = est_fwd(est_params, jnp.asarray(adapt_w).reshape(
-                    (-1,) + adapt_w.shape[2:]))
-                slr_w = slr_w.reshape(adapt_w.shape[:2] + slr_w.shape[1:])
                 run_b = make_adapt_and_infer_seq_batched(
                     vsr.netG, cfg, mesh=mesh, apply_fn=padded_apply,
                     mutable_apply_fn=mutable_apply)
-                sr_all, losses_all = run_b(
-                    vsr.state.params, slr_w, jnp.asarray(lr_c),
-                    jnp.asarray(frames_b), jnp.asarray(win_b))
-                sr_all = np.asarray(sr_all)[:, :, : h * scale, : w * scale]
             else:
-                wins = [test_set.clip_frames(c)[
-                    all_windows(len(test_set.lq_index.clips[c]), n_frames,
-                                padding)]
-                    for c in clips]
-                wins = wins + [wins[-1]] * pad_n
-                lr_w, adapt_w, lr_c, lens = batch_clips(
-                    wins, n_adapt_cfg, n_frames // 2)
-                slr_w = est_fwd(est_params, jnp.asarray(adapt_w).reshape(
-                    (-1,) + adapt_w.shape[2:]))
-                slr_w = slr_w.reshape(adapt_w.shape[:2] + slr_w.shape[1:])
                 run_b = make_adapt_and_infer_batched(
                     vsr.netG, cfg, mesh=mesh, apply_fn=padded_apply,
                     mutable_apply_fn=mutable_apply)
-                sr_all, losses_all = run_b(
-                    vsr.state.params, slr_w, jnp.asarray(lr_c),
-                    jnp.asarray(lr_w))
-                sr_all = np.asarray(sr_all)
-            for i, clip in enumerate(clips):
-                gt = test_set.clip_frames(clip, gt=True) if test_set.gt_index else None
-                score(clip, sr_all[i, : lens[i]], gt, losses_all[i])
+            for _hw, clips in buckets.items():
+                # Pad each bucket to a multiple of the mesh size so ALL
+                # chips stay engaged (e.g. Vid4's 4 clips on an 8-chip
+                # mesh); padded clips repeat the last one, never scored.
+                pad_n = (-len(clips)) % len(mesh_devs)
+                if use_seq:
+                    # Batched SEQ serving: per-clip frames + window-index
+                    # tables instead of materialized windows; pyramids
+                    # extracted once per clip frame on each chip
+                    # (make_adapt_and_infer_seq_batched).
+                    raw = [raw_by_clip[c] for c in clips]
+                    raw = raw + [raw[-1]] * pad_n
+                    frames_b, win_b, adapt_w, lr_c, lens = batch_clips_seq(
+                        raw, n_frames, padding, n_adapt_cfg, n_frames // 2)
+                    h, w = frames_b.shape[2], frames_b.shape[3]
+                    ph, pw = (-h) % 4, (-w) % 4
+                    if ph or pw:
+                        # Frame-level mod-4 pad == per-window mod-padding
+                        # (the window path's apply_fn reflect-pads the same).
+                        frames_b = np.pad(
+                            frames_b,
+                            [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
+                            mode="reflect")
+                    slr_w = est_fwd(est_params, jnp.asarray(adapt_w).reshape(
+                        (-1,) + adapt_w.shape[2:]))
+                    slr_w = slr_w.reshape(adapt_w.shape[:2] + slr_w.shape[1:])
+                    sr_all, losses_all = run_b(
+                        vsr.state.params, slr_w, jnp.asarray(lr_c),
+                        jnp.asarray(frames_b), jnp.asarray(win_b))
+                    sr_all = np.asarray(sr_all)[:, :, : h * scale, : w * scale]
+                else:
+                    wins = [raw_by_clip[c][
+                        all_windows(raw_by_clip[c].shape[0], n_frames,
+                                    padding)]
+                        for c in clips]
+                    wins = wins + [wins[-1]] * pad_n
+                    lr_w, adapt_w, lr_c, lens = batch_clips(
+                        wins, n_adapt_cfg, n_frames // 2)
+                    slr_w = est_fwd(est_params, jnp.asarray(adapt_w).reshape(
+                        (-1,) + adapt_w.shape[2:]))
+                    slr_w = slr_w.reshape(adapt_w.shape[:2] + slr_w.shape[1:])
+                    sr_all, losses_all = run_b(
+                        vsr.state.params, slr_w, jnp.asarray(lr_c),
+                        jnp.asarray(lr_w))
+                    sr_all = np.asarray(sr_all)
+                for i, clip in enumerate(clips):
+                    gt = test_set.clip_frames(clip, gt=True) \
+                        if test_set.gt_index else None
+                    score(clip, sr_all[i, : lens[i]], gt, losses_all[i])
         else:
             for clip in test_set.names:
                 lq = test_set.clip_frames(clip)

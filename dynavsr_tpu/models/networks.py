@@ -81,13 +81,15 @@ def define_G(opt: Mapping[str, Any]):
                       s2d=True if s2d is None else bool(s2d))
     if which in ("DUF_16L", "DUF_28L", "DUF_52L"):
         layers = {"DUF_16L": 3, "DUF_28L": 9, "DUF_52L": 21}[which]
-        # PLAIN trunk: the gradient-workload default (train / test-time
-        # adaptation). The packed trunk wins pure serving at every batch
-        # size (1.6-5.2x, results_r04/duf_serve_batch_sweep.log) but its
-        # backward is ~2.4x slower (results_r04/duf_packed_adapt_bench.log
-        # vs results_r03/duf_adapt_bench_run2.log) — serving_clone()
-        # switches eval-only forwards to packed; s2d_conv in YAML forces
-        # BOTH workloads.
+        # PLAIN trunk for ALL workloads. The round-3 "packed trunk wins
+        # serving" result was a timing-regime artifact (amortized fori_loop
+        # numbers do not reproduce across sessions — results_r04/
+        # tpu_queue_r4c.log); in the session-reproducible per-call regime
+        # packed LOSES serving at every batch size (0.83-0.90x,
+        # results_r04/duf_dispatch_*.log) and its backward is ~2.4x slower
+        # (duf_packed_adapt_bench.log). serving_clone() is the identity for
+        # DUF; s2d_conv in YAML is the explicit opt-in (kept as the A/B
+        # record, models/duf.py:146-155).
         return DUF(scale=scale, dense1_layers=layers, dtype=dt,
                    s2d=bool(opt_net.get("s2d_conv", False)))
     if which == "MFDN":

@@ -608,6 +608,61 @@ def test_dynavsr_seq_clip_parallel_cli(workdir, monkeypatch):
             par[clip]["psnr"], serial[clip]["psnr"], rtol=0, atol=0.05)
 
 
+def test_dynavsr_clip_parallel_mixed_resolution(workdir, monkeypatch):
+    """Real test sets mix LR resolutions (Vid4 ships 144x176 AND 120x180
+    clips): the clip-parallel path must bucket clips by (h, w) — one
+    batched run per bucket — rather than crash stacking ragged arrays
+    (round-4 verdict item 3). Per-clip PSNRs must match the serial path,
+    through BOTH the windowed and the seq batched paths."""
+    from dynavsr_tpu.cli import test_dynavsr as td_cli
+
+    root = workdir / "mixed"
+    make_clip_tree(str(root / "GT"), ["clipA", "clipB"], frames=12,
+                   h=32, w=32, seed=1)
+    make_clip_tree(str(root / "LQ"), ["clipA", "clipB"], frames=12,
+                   h=8, w=8, seed=2)
+    # a third clip at a DIFFERENT resolution and length (LR stays
+    # divisible by the x4 scale, as every real Vid4/REDS4 clip is —
+    # the MFDN pseudo-task needs SLR = LR/4 to be integral)
+    make_clip_tree(str(root / "GT"), ["clipC"], frames=9, h=32, w=48, seed=3)
+    make_clip_tree(str(root / "LQ"), ["clipC"], frames=9, h=8, w=12, seed=4)
+
+    base = DYNAVSR_YML.format(
+        tag="mixres", gt=root / "GT", lq=root / "LQ",
+        netg=EDVR_NETG, nframes=3, est="MFDN")
+    monkeypatch.chdir(workdir)
+
+    yml_s = workdir / "dynavsr_mix_serial.yml"
+    yml_s.write_text(base)
+    serial = td_cli.main(["-opt", str(yml_s), "--no-save-images"])
+    assert set(serial) >= {"clipA", "clipB", "clipC"}
+
+    for tag, extra in (("win", "\n  clip_parallel: true"),
+                       ("seq", "\n  seq: true\n  clip_parallel: true")):
+        yml = workdir / f"dynavsr_mix_{tag}.yml"
+        yml.write_text(base.replace("adapt:", "adapt:" + extra))
+        par = td_cli.main(["-opt", str(yml), "--no-save-images"])
+        for clip in ("clipA", "clipB", "clipC"):
+            np.testing.assert_allclose(
+                par[clip]["psnr"], serial[clip]["psnr"], rtol=0, atol=0.05)
+
+
+def test_batch_clips_ragged_rejected():
+    """batch_clips/batch_clips_seq fail loudly (with the bucketing fix
+    named) on mixed-resolution inputs instead of an np.stack shape error."""
+    from dynavsr_tpu.adapt.adaptation import batch_clips, batch_clips_seq
+
+    w1 = np.zeros((4, 3, 8, 8, 3), np.float32)
+    w2 = np.zeros((4, 3, 6, 10, 3), np.float32)
+    with pytest.raises(ValueError, match="bucket"):
+        batch_clips([w1, w2], n_adapt=2, center=1)
+    c1 = np.zeros((6, 8, 8, 3), np.float32)
+    c2 = np.zeros((6, 6, 10, 3), np.float32)
+    with pytest.raises(ValueError, match="bucket"):
+        batch_clips_seq([c1, c2], n_frames=3, padding="reflection",
+                        n_adapt=2, center=1)
+
+
 # ------------------------------------------ shipped test-config protocols
 def _patched_shipped_config(name, workdir, **net_patch):
     """Load a shipped configs/test YAML, repoint its datasets at the
