@@ -315,6 +315,15 @@ def main() -> None:
         g2 = _measure_adapt_infer(args, groups=2)
         result["gd2_fps"] = round(g2, 3)
         result["gd2_vs_baseline"] = round(g2 / PYTORCH_GPU_FPS_ESTIMATE, 3)
+        # Gd=2 + sequence-mode serving: the recommended near-parity
+        # deployment config composed with the shared-pyramid dedup — the
+        # north-star candidate (SURVEY.md §6: >=5x GPU-estimate at
+        # near-parity quality). Round-4 verdict item 1: this composition
+        # must ride the driver line, not live in prose.
+        g2s = _measure_adapt_infer(args, groups=2, seq=True)
+        result["gd2_seq_fps"] = round(g2s, 3)
+        result["gd2_seq_vs_baseline"] = round(
+            g2s / PYTORCH_GPU_FPS_ESTIMATE, 3)
         # Secondary backbones, driver-captured every round (round-3 review
         # item 2): the adapt+infer PRODUCT fps (same per-clip protocol as
         # the EDVR headline) plus the pure serving forwards. All build the

@@ -164,6 +164,13 @@ def main():
     ap.add_argument("--adapt-lrs", type=float, nargs="+",
                     default=[1e-6, 1e-5, 1e-4])
     ap.add_argument("--nf", type=int, default=32)
+    ap.add_argument("--front-rbs", type=int, default=2,
+                    help="EDVR front residual blocks (EDVR-M ships 5 — "
+                         "pass --nf 64 --front-rbs 5 --back-rbs 10 to run "
+                         "the protocol at the production shape; round-4 "
+                         "verdict weak item 1)")
+    ap.add_argument("--back-rbs", type=int, default=3,
+                    help="EDVR back residual blocks (EDVR-M ships 10)")
     ap.add_argument("--groups", type=int, default=8,
                     help="EDVR deformable groups (1 = TPU-flagship variant)")
     ap.add_argument("--bn-mode", default="auto",
@@ -224,10 +231,18 @@ def main():
         net_g = {"which_model_G": "DUF_16L", "nframes": 7, "dtype": "bfloat16"}
     else:
         net_g = {"which_model_G": "EDVR", "nf": args.nf, "nframes": 5,
-                 "groups": args.groups, "front_RBs": 2, "back_RBs": 3,
-                 "dtype": "bfloat16"}
+                 "groups": args.groups, "front_RBs": args.front_rbs,
+                 "back_RBs": args.back_rbs, "dtype": "bfloat16"}
+    # Non-default shape knobs are baked into the checkpoint name so a
+    # reused --root never serves an nf=32 init to an nf=64 eval (the
+    # historical default shape keeps the suffix-free name).
     vsr_name = f"vsr_{args.arch}" + (
         f"_gd{args.groups}" if args.arch == "edvr" and args.groups != 8 else "")
+    if args.arch == "edvr":
+        if args.nf != 32:
+            vsr_name += f"_nf{args.nf}"
+        if (args.front_rbs, args.back_rbs) != (2, 3):
+            vsr_name += f"_rb{args.front_rbs}x{args.back_rbs}"
     n_frames = int(net_g.get("nframes", 5))
 
     # ---- 1) supervised VSR on bicubic LR

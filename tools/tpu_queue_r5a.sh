@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-5 TPU queue A: re-warm the wiped compile cache with the default
+# bench (now carrying the gd2_seq_fps north-star leg), then capture the
+# authoritative cached run. Single TPU process at a time (tunnel rule).
+set -u -o pipefail
+cd "$(dirname "$0")/.."
+echo $$ > /tmp/tpu_queue_r5a.pid
+trap 'rm -f /tmp/tpu_queue_r5a.pid' EXIT
+R=results_r05
+mkdir -p "$R"
+step() {
+  if [ -e /tmp/tpu_stop ]; then
+    echo "[queue] stop sentinel /tmp/tpu_stop — exiting before: $1"; exit 0
+  fi
+  echo; echo "=== $1 — $(date +%H:%M:%S) ==="
+  shift
+  timeout "$1" "${@:2}" 2>&1 | tee "$R/$LOG"
+  echo "[queue] rc=$?"
+}
+LOG=bench_default_r5_run1.log step "default bench run 1 (cold compiles; NOT authoritative)" 7200 python bench.py
+LOG=bench_default_r5_run2.log step "default bench run 2 (cached; authoritative)" 3600 python bench.py
+echo; echo "=== queue A done — $(date +%H:%M:%S) ==="
