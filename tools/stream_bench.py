@@ -77,11 +77,17 @@ def main():
                          "one adapted param set each")
     ap.add_argument("--quick", action="store_true",
                     help="tiny config CPU/smoke mode")
+    ap.add_argument("--arch", default="edvr", choices=["edvr", "tof", "duf"],
+                    help="edvr = StreamingSR (pyramid split); tof/duf = "
+                         "WindowStreamSR (generic window-buffer streamer — "
+                         "round-4 verdict item 5). tof/duf are "
+                         "single-stream only (--streams must be 1)")
     args = ap.parse_args()
 
     from dynavsr_tpu.eval.streaming import (
         MultiStreamSR,
         StreamingSR,
+        WindowStreamSR,
         make_streaming_adapter,
     )
     from dynavsr_tpu.models.edvr import EDVR
@@ -90,7 +96,31 @@ def main():
 
     enable_compilation_cache()
 
-    if args.quick:
+    window_apply = None
+    if args.arch != "edvr" and args.streams > 1:
+        raise SystemExit("--arch tof/duf streams via WindowStreamSR (B=1)")
+    if args.arch == "tof":
+        # Raw-LR contract via the module-internal bicubic front-end (same
+        # build as bench.py's tof adapt+infer leg); 7-frame window is the
+        # reference TOF eval protocol.
+        from dynavsr_tpu.models.padding import make_model_apply
+        from dynavsr_tpu.models.tof import TOFlow
+
+        model = TOFlow(dtype=jnp.bfloat16, pre_upscale=True, scale=4)
+        window_apply = make_model_apply(model, "TOF", 4)
+        n_frames, h, w, t = 7, 144, 176, args.frames
+        if args.quick:
+            n_frames, h, w, t = 3, 16, 16, max(6, min(args.frames, 8))
+            args.adapt_windows = min(args.adapt_windows, 2)
+    elif args.arch == "duf":
+        from dynavsr_tpu.models.duf import DUF
+
+        model = DUF(scale=4, dense1_layers=3, dtype=jnp.bfloat16)
+        n_frames, h, w, t = 7, 144, 176, args.frames
+        if args.quick:
+            h, w, t = 16, 16, max(8, min(args.frames, 10))
+            args.adapt_windows = min(args.adapt_windows, 2)
+    elif args.quick:
         model = EDVR(nf=8, nframes=3, groups=2, front_RBs=1, back_RBs=1,
                      dtype=jnp.bfloat16)
         n_frames, h, w, t = 3, 16, 16, max(6, min(args.frames, 8))
@@ -102,7 +132,7 @@ def main():
 
     b = args.streams
     key = jax.random.PRNGKey(0)
-    params = model.init(
+    params = jax.jit(model.init)(
         key, jax.random.uniform(key, (1, n_frames, h, w, 3), jnp.float32))
 
     adapter = None
@@ -114,12 +144,23 @@ def main():
             "dtype": "bfloat16"}})
         ep = jax.jit(est.init)(jax.random.PRNGKey(1),
                                jnp.zeros((1, n_frames, h, w, 3)))
+        mutable_fn = None
+        if args.arch != "edvr":  # BN nets adapt in train_ema mode
+            from dynavsr_tpu.models.padding import make_mutable_model_apply
+
+            which = "TOF" if args.arch == "tof" else "DUF_16L"
+            mutable_fn = make_mutable_model_apply(model, which, 4)
         adapter = make_streaming_adapter(
             model, AdaptConfig(n_steps=args.adapt_steps, lr=1e-6),
-            est.apply, ep, batched=b > 1)
+            est.apply, ep, apply_fn=window_apply,
+            mutable_apply_fn=mutable_fn, batched=b > 1)
     k_adapt = args.adapt_windows if args.adapt else 0
 
-    if b > 1:
+    if args.arch != "edvr":
+        stream = WindowStreamSR(model, params, n_frames=n_frames,
+                                apply_fn=window_apply, adapter=adapter,
+                                adapt_windows=k_adapt)
+    elif b > 1:
         stream = MultiStreamSR(model, params, n_streams=b,
                                n_frames=n_frames, adapter=adapter,
                                adapt_windows=k_adapt,
