@@ -50,7 +50,8 @@ def top_ops(trace_dir: str, top: int = 15):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="edvr_fwd",
-                    choices=["edvr_fwd", "dcn", "adapt", "tof", "duf"])
+                    choices=["edvr_fwd", "dcn", "adapt", "adapt_only", "tof",
+                             "duf"])
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--groups", type=int, default=8)
     args = ap.parse_args()
@@ -108,6 +109,25 @@ def main():
         with jax.profiler.trace(trace_dir):
             o = f(params, x + 1e-3)
             _ = np.asarray(o[0, :4, 0])
+    elif args.workload == "adapt_only":
+        # The k-step adaptation scan ALONE (no inference): the segment
+        # measured Gd-INDEPENDENT at ~0.275 s = 40% of the Gd=2 clip
+        # (results_r05/adapt_split_g{1,2}.log) — profile where those
+        # 55 ms/step go at SLR scale.
+        from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_fn
+        from dynavsr_tpu.models.edvr import EDVR
+
+        model = EDVR(nf=64, nframes=5, groups=args.groups, front_RBs=5,
+                     back_RBs=10, dtype=jnp.bfloat16)
+        slr = jax.random.uniform(ks[1], (8, 5, 36, 44, 3))
+        lrc = jax.random.uniform(ks[2], (8, 144, 176, 3))
+        params = jax.jit(model.init)(ks[3], slr[:1])
+        adapt = make_adapt_fn(model, AdaptConfig(n_steps=5))
+        p2, losses = adapt(params, slr, lrc)
+        _ = np.asarray(losses)
+        with jax.profiler.trace(trace_dir):
+            p2, losses = adapt(params, slr + 1e-3, lrc)
+            _ = np.asarray(losses)
     else:  # adapt
         from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
         from dynavsr_tpu.models.edvr import EDVR
