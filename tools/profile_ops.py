@@ -21,12 +21,13 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
-def top_ops(trace_dir: str, top: int = 15):
+def top_ops(trace_dir: str, top: int = 15, dump: int = 0):
     from jax.profiler import ProfileData
 
     path = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))[-1]
     pd = ProfileData.from_file(path)
     totals = collections.Counter()
+    raw = collections.Counter()  # full op name -> ns (for --dump)
     for plane in pd.planes:
         if "TPU" not in plane.name:
             continue
@@ -44,6 +45,12 @@ def top_ops(trace_dir: str, top: int = 15):
                     elif "scatter" in ev.name:
                         label += "(scatter)"
                 totals[label] += ev.duration_ns
+                if dump:
+                    raw[ev.name[:240]] += ev.duration_ns
+    if dump:
+        print(f"--- top {dump} raw op names ---")
+        for name, ns in raw.most_common(dump):
+            print(f"  {ns / 1e6:9.2f} ms  {name}")
     return totals.most_common(top)
 
 
@@ -51,9 +58,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="edvr_fwd",
                     choices=["edvr_fwd", "dcn", "adapt", "adapt_only", "tof",
-                             "duf"])
+                             "duf", "stream_step"])
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--groups", type=int, default=8)
+    ap.add_argument("--dump", type=int, default=0,
+                    help="also print the N highest-duration RAW op names "
+                         "(identifies anonymous fusion:Custom entries)")
     args = ap.parse_args()
 
     import jax
@@ -128,6 +138,33 @@ def main():
         with jax.profiler.trace(trace_dir):
             p2, losses = adapt(params, slr + 1e-3, lrc)
             _ = np.asarray(losses)
+    elif args.workload == "stream_step":
+        # The round-5 fused streaming push (eval/streaming._StreamCore.step:
+        # extract + ring write + window gather + fuse, ring donated) — the
+        # executable behind the 94.4 ms/frame B=1 regression
+        # (results_r05/stream_b1_r5.log vs round-3's 74.7 multi-dispatch).
+        from dynavsr_tpu.eval.streaming import StreamingSR
+        from dynavsr_tpu.models.edvr import EDVR
+
+        model = EDVR(nf=64, nframes=5, groups=args.groups, front_RBs=5,
+                     back_RBs=10, dtype=jnp.bfloat16)
+        n, h, w = 5, 144, 176
+        params = jax.jit(model.init)(
+            ks[1], jax.random.uniform(ks[0], (1, n, h, w, 3), jnp.float32))
+        stream = StreamingSR(model, params, n_frames=n)
+        frame = jax.random.uniform(ks[2], (1, h, w, 3), jnp.float32)
+        stream._ensure_rings(frame)
+        rings = stream._rings
+        for s in range(stream._R):  # fill the ring with real data
+            rings = stream._ingest_j(params, rings, frame + s * 1e-3,
+                                     np.int32(s))
+        idx = stream._ring_idx(2, 1 << 30)
+        rings, sr = stream._step_j(params, rings, frame, np.int32(3), idx)
+        _ = np.asarray(sr[0, 0, :4, 0])
+        with jax.profiler.trace(trace_dir):
+            rings, sr = stream._step_j(params, rings, frame + 1e-3,
+                                       np.int32(4), idx)
+            _ = np.asarray(sr[0, 0, :4, 0])
     else:  # adapt
         from dynavsr_tpu.adapt.adaptation import AdaptConfig, make_adapt_and_infer
         from dynavsr_tpu.models.edvr import EDVR
@@ -147,7 +184,7 @@ def main():
             _ = np.asarray(sr[0, 0, :4, 0])
 
     total = 0
-    rows = top_ops(trace_dir, args.top)
+    rows = top_ops(trace_dir, args.top, dump=args.dump)
     all_ns = sum(ns for _, ns in rows)
     print(f"top {args.top} XLA ops ({args.workload}, groups={args.groups}):")
     for label, ns in rows:
