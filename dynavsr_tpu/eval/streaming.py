@@ -19,6 +19,23 @@ ring holds the last 2N arrival slots — a proof-tight bound: no padding
 policy references an index more than 2N below the newest frame at its
 emission time (circle's end case is the extremal one).
 
+Measurement record (round 5): the fused step first LOOKED like a
+regression — 94.4 ms/frame vs the old path's 74.7 — but those two
+numbers came from different sessions, and single-stream streaming
+latencies are NOT comparable across sessions on this tunnel (same
+lesson as the DUF packed-trunk reversal, CLAUDE.md gotchas). The valid
+in-session A/B (results_r05/stream_b1_r5_{olddesign_ab,prefix_ab,
+fix_run*}.log, all legs minutes apart on one host): multi-dispatch
+round-4 design 69.5-70.8 ms/frame, fused design 59.3-63.9 — the fused
+push wins ~1.13x. Additionally staging the per-push `slot`/window-index
+constants as cached device handles (_dev_const; steady state cycles
+through only R patterns) and adding the batch axis host-side (_batch1)
+measured NEUTRAL in-session (62.7/63.4 vs 59.5 pre-staging — within
+pass variance), i.e. small host->device transfers do not cost a full
+round-trip on this tunnel; both are kept anyway because they strictly
+remove 2-3 per-push transfers at bounded cost, which matters on
+higher-latency links.
+
 Exactness contract: outputs are bit-identical to the offline harness
 (eval/harness.evaluate_clip over data/windows.all_windows with the same
 padding policy) — tests/test_streaming.py pins it. The price of exactness
@@ -90,6 +107,18 @@ __all__ = ["StreamingSR", "MultiStreamSR", "WindowStreamSR",
 # max_n equal the true-T windows whenever center + N//2 <= T-1, which the
 # emission rule guarantees (see _due).
 _OPEN = 1 << 30
+
+
+def _batch1(frame):
+    """(H, W, 3) -> (1, H, W, 3) without extra RPCs: host frames get the
+    batch axis BEFORE upload (`jnp.asarray(frame)[None]` would upload and
+    then dispatch a device reshape); frames already on device keep the
+    device-side reshape (fetching them back to host would be worse).
+    Measured neutral in-session (module docstring) — kept as strict
+    transfer-count hygiene."""
+    if isinstance(frame, jax.Array):
+        return frame[None]
+    return jnp.asarray(np.asarray(frame)[None])
 
 
 def make_streaming_adapter(vsr_model, cfg, est_apply, est_params,
@@ -289,7 +318,32 @@ class _StreamCore:
         self._warm_need = (
             1 + max(self._needs(i) for i in range(self.k_adapt))
             if self.k_adapt > 0 else 0)
+        # Device-staged push constants: slot scalars and window-index
+        # vectors repeat with period R in steady state, so each is
+        # uploaded once and its committed handle re-passed (measured
+        # NEUTRAL on this tunnel — module docstring "Measurement
+        # record" — kept as strict transfer-count hygiene). Keyed by
+        # value, bounded; survives reset().
+        self._dev_const: dict = {}
         self.reset()
+
+    def _dev_slot(self, s: int):
+        key = ("slot", int(s))
+        v = self._dev_const.get(key)
+        if v is None:
+            if len(self._dev_const) > 1024:
+                self._dev_const.clear()
+            v = self._dev_const[key] = jax.device_put(np.int32(s))
+        return v
+
+    def _dev_idx(self, idx: np.ndarray):
+        key = ("idx", idx.tobytes())
+        v = self._dev_const.get(key)
+        if v is None:
+            if len(self._dev_const) > 1024:
+                self._dev_const.clear()
+            v = self._dev_const[key] = jax.device_put(idx)
+        return v
 
     def reset(self) -> None:
         self.params = self._params0
@@ -341,20 +395,20 @@ class _StreamCore:
         self._ensure_rings(frames)
         t_new = self._t + 1
         due = self._due(t_new)
-        slot = np.int32(self._t % self._R)
+        slot = self._dev_slot(self._t % self._R)
         step, ingest, emit = ((self._step_g, self._ingest_g, self._emit_g)
                               if self._g else
                               (self._step_j, self._ingest_j, self._emit_j))
         out = []
         if len(due) == 1:
             self._rings, sr = step(self.params, self._rings, frames, slot,
-                                   self._ring_idx(due[0], _OPEN))
+                                   self._dev_idx(self._ring_idx(due[0], _OPEN)))
             out.append((due[0], sr))
         else:
             self._rings = ingest(self.params, self._rings, frames, slot)
             for c in due:
                 out.append((c, emit(self.params, self._rings,
-                                    self._ring_idx(c, _OPEN))))
+                                    self._dev_idx(self._ring_idx(c, _OPEN)))))
         self._t = t_new
         self._next += len(due)
         return out
@@ -425,7 +479,7 @@ class _StreamCore:
         emit = self._emit_g if self._g else self._emit_j
         for i in range(self._next, t):
             out.append((i, emit(self.params, self._rings,
-                                self._ring_idx(i, t))))
+                                self._dev_idx(self._ring_idx(i, t)))))
         self.reset()
         return out
 
@@ -454,7 +508,7 @@ class StreamingSR(_StreamCore):
     def push(self, frame) -> List[Tuple[int, Any]]:
         """Feed one (H, W, 3) frame; returns the SR frames whose windows
         became complete, as (frame_index, (H*scale, W*scale, 3)) pairs."""
-        out = self._push(jnp.asarray(frame)[None])
+        out = self._push(_batch1(frame))
         return [(i, sr[0]) for i, sr in out]
 
     def flush(self) -> List[Tuple[int, Any]]:
@@ -490,7 +544,7 @@ class WindowStreamSR(_StreamCore):
             window_apply=apply_fn or (lambda p, x: model.apply(p, x)))
 
     def push(self, frame) -> List[Tuple[int, Any]]:
-        out = self._push(jnp.asarray(frame)[None])
+        out = self._push(_batch1(frame))
         return [(i, sr[0]) for i, sr in out]
 
     def flush(self) -> List[Tuple[int, Any]]:

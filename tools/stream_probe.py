@@ -24,6 +24,14 @@ latencies); shipped ~ step; candidate ~ extract + args_fuse. Whichever sum
 is smallest wins; if step >> ingest+emit the ring donation/output
 marshalling itself is the regression.
 
+RESOLUTION (round 5): the "regression" never existed — 94.4 and 74.7 came
+from different sessions, and streaming latency is not cross-session
+comparable on this tunnel (CLAUDE.md gotcha). The in-session A/B measured
+the fused design at 59.3-63.9 ms/frame vs the multi-dispatch design's
+69.5-70.8 — a real 1.13x win — and constant staging as neutral
+(results_r05/stream_b1_*, RESULTS.md "Fused streaming push"). This probe
+remains useful for per-call component decomposition.
+
 Run: python tools/stream_probe.py [--groups 2] [--reps 6]
 """
 
