@@ -1,6 +1,7 @@
 """Eval harness tests: batched clip evaluation, metric conventions."""
 
 import numpy as np
+import pytest
 
 from dynavsr_tpu.eval.harness import evaluate_clip, evaluate_dataset, score_frames
 
@@ -127,6 +128,7 @@ def test_tiled_apply_exact_vs_full():
     np.testing.assert_allclose(np.asarray(same), np.asarray(full), atol=0)
 
 
+@pytest.mark.slow
 def test_tiled_apply_real_model_duf():
     """End-to-end on a real backbone: DUF-16L (receptive-field radius ~10)
     tiled with overlap 12 matches the whole-frame forward."""

@@ -82,6 +82,7 @@ def test_forward_seq_frame_padding_matches_per_window_padding():
         np.asarray(sr_seq), np.asarray(sr_win), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_adapt_and_infer_seq_matches_base():
     """Same adaptation scan, seq inference == window-batched inference —
     including a non-dividing infer_chunk (pad rows sliced off)."""

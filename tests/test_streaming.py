@@ -85,6 +85,7 @@ def _estimator(hw=16):
     return est, ep
 
 
+@pytest.mark.slow
 def test_streaming_with_adaptation_matches_offline():
     """StreamingSR(adapter=..., adapt_windows=K) must equal the offline
     adapted path: make_adapt_and_infer on the same estimator pseudo-task
@@ -120,6 +121,7 @@ def test_streaming_with_adaptation_matches_offline():
     assert stream._t == 0 and not stream._adapted
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "padding", ["reflection_circle", "new_info", "circle", "replicate"])
 def test_streaming_adaptation_matches_offline_all_paddings(padding):
@@ -176,6 +178,7 @@ def test_stacked_params_with_adapter_rejected():
                       params_stacked=True, adapter=adapter, adapt_windows=1)
 
 
+@pytest.mark.slow
 def test_streaming_adaptation_short_clip_clamps():
     """A stream shorter than the warm-up adapts on min(K, T) windows with
     true-length border windows at flush — the offline n_adapt clamp."""
@@ -208,6 +211,7 @@ def test_streaming_adaptation_short_clip_clamps():
 
 
 # -------------------------------------------------- generic window streamer
+@pytest.mark.slow
 def test_window_stream_tof_matches_offline():
     """WindowStreamSR (no pyramid split): TOF served online must equal the
     offline window-batched forward — round-4 verdict item 5 (online
@@ -233,6 +237,7 @@ def test_window_stream_tof_matches_offline():
     np.testing.assert_allclose(sr_stream, sr_off, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_window_stream_duf_matches_offline():
     from dynavsr_tpu.eval.streaming import WindowStreamSR
     from dynavsr_tpu.models.duf import DUF
@@ -255,6 +260,7 @@ def test_window_stream_duf_matches_offline():
     np.testing.assert_allclose(sr_stream, sr_off, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_window_stream_adaptation_matches_offline():
     """Adapt-then-serve through the generic window streamer (DUF, BN
     train_ema semantics): must equal the offline adapted path — the same
@@ -295,6 +301,7 @@ def test_window_stream_adaptation_matches_offline():
 
 
 # ---------------------------------------------------------- multi-stream
+@pytest.mark.slow
 def test_multi_stream_lockstep_matches_single():
     """MultiStreamSR with shared params == B independent StreamingSRs."""
     from dynavsr_tpu.eval.streaming import MultiStreamSR
@@ -321,6 +328,7 @@ def test_multi_stream_lockstep_matches_single():
         np.testing.assert_allclose(sr_multi[s], sr_ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_multi_stream_per_stream_params():
     """Stacked per-stream params: each stream must be served by ITS OWN
     net (the adapt-then-serve deployment mode)."""
@@ -352,6 +360,7 @@ def test_multi_stream_per_stream_params():
         np.testing.assert_allclose(sr_multi[s], sr_ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_multi_stream_adaptation_per_stream():
     """Batched adapter: every stream adapts on its own windows; output
     equals B independent adapted single streams."""
@@ -387,6 +396,7 @@ def test_multi_stream_adaptation_per_stream():
         np.testing.assert_allclose(sr_multi[s], sr_ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_multi_stream_grouped_adaptation():
     """n_groups=G: consecutive blocks of B/G streams share ONE param set
     adapted on the POOLED first-K windows of the block's streams. Pinned
@@ -434,6 +444,7 @@ def test_multi_stream_grouped_adaptation():
                                        rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_multi_stream_grouped_stacked_params():
     """params_stacked + n_groups=G without an adapter: a (G,)-stacked
     pytree serves blocks of B/G streams — each block must be served by
@@ -465,6 +476,7 @@ def test_multi_stream_grouped_stacked_params():
         np.testing.assert_allclose(sr_multi[s], sr_ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_multi_stream_single_group_takes_plain_path():
     """n_groups=1 (with or without adapter) is normalized to the g=0
     no-vmap serving path — a size-1 vmapped-params axis lowers convs to
